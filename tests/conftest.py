@@ -6,13 +6,24 @@ testing strategy. Must run before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# The environment pins JAX_PLATFORMS=axon (TPU tunnel) globally and a
+# sitecustomize hook pre-imports jax, so an env-var setdefault is too late:
+# override through jax.config before the first backend use.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
 # keep test config away from the user's real one
 os.environ.setdefault('ZUDS_CONFIG', '/tmp/zuds-tpu-test-config.yaml')
+# persistent XLA compile cache: op compiles dominate suite wall-clock
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/zuds-tpu-jax-cache')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
 
 import numpy as np
 import pytest

@@ -1,0 +1,152 @@
+"""Background / RMS mesh estimation — the SExtractor back.c replacement.
+
+Implements the semantics the reference gets from ``sex`` check-images
+(``zuds/sextractor.py:21-26``: BACKGROUND, BACKGROUND_RMS, -BACKGROUND) with
+BACK_SIZE=128 and BACK_FILTERSIZE=3 (``zuds/astromatic/sextractor.conf``,
+``zuds/swarp.py:69``):
+
+* the frame is tiled into ``box``-px cells; each cell's pixel histogram is
+  sigma-clipped (fixed iteration count, jit-friendly) at ±3 sigma around the
+  median;
+* the cell background is the clipped mean in uncrowded cells and the mode
+  estimator ``2.5·median - 1.5·mean`` when clipping removed >20% of sigma
+  (crowded field), exactly SExtractor's rule;
+* the cell sigma is the clipped standard deviation;
+* both meshes are 3x3 median filtered, then bilinearly interpolated back to
+  full resolution from cell centers.
+
+All steps are batched jnp ops over the (ncy, ncx, box*box) cell tensor —
+one fused XLA program per frame shape, no per-cell host loops.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['background_mesh', 'interpolate_mesh', 'median_filter_mesh',
+           'masked_median']
+
+
+def masked_median(x, valid, axis=-1):
+    """Median over ``axis`` counting only ``valid`` entries (>=1 assumed)."""
+    big = jnp.asarray(jnp.inf, dtype=x.dtype)
+    xs = jnp.sort(jnp.where(valid, x, big), axis=axis)
+    cnt = jnp.sum(valid, axis=axis, keepdims=True)
+    lo = jnp.clip((cnt - 1) // 2, 0, x.shape[axis] - 1)
+    hi = jnp.clip(cnt // 2, 0, x.shape[axis] - 1)
+    mlo = jnp.take_along_axis(xs, lo, axis=axis)
+    mhi = jnp.take_along_axis(xs, hi, axis=axis)
+    med = 0.5 * (mlo + mhi)
+    return jnp.squeeze(med, axis=axis)
+
+
+def median_filter_mesh(mesh, size=3):
+    """size x size median filter with edge replication (BACK_FILTERSIZE)."""
+    if size <= 1:
+        return mesh
+    r = size // 2
+    padded = jnp.pad(mesh, r, mode='edge')
+    H, W = mesh.shape
+    stack = jnp.stack([padded[dy:dy + H, dx:dx + W]
+                       for dy in range(size) for dx in range(size)], axis=-1)
+    return jnp.median(stack, axis=-1)
+
+
+@partial(jax.jit, static_argnames=('shape', 'box'))
+def interpolate_mesh(mesh, shape, box=128):
+    """Bilinear interpolation from cell centers back to pixel resolution."""
+    H, W = shape
+    ncy, ncx = mesh.shape
+    yy = (jnp.arange(H, dtype=jnp.float32) - (box - 1) / 2.0) / box
+    xx = (jnp.arange(W, dtype=jnp.float32) - (box - 1) / 2.0) / box
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, ncy - 2) if ncy > 1 \
+        else jnp.zeros(H, jnp.int32)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, ncx - 2) if ncx > 1 \
+        else jnp.zeros(W, jnp.int32)
+    fy = jnp.clip(yy - y0, 0.0, 1.0)[:, None] if ncy > 1 else jnp.zeros((H, 1))
+    fx = jnp.clip(xx - x0, 0.0, 1.0)[None, :] if ncx > 1 else jnp.zeros((1, W))
+    y1 = jnp.minimum(y0 + 1, ncy - 1)
+    x1 = jnp.minimum(x0 + 1, ncx - 1)
+    top = mesh[y0]
+    bot = mesh[y1]
+    g00, g01 = top[:, x0], top[:, x1]
+    g10, g11 = bot[:, x0], bot[:, x1]
+    return (g00 * (1 - fy) * (1 - fx) + g01 * (1 - fy) * fx
+            + g10 * fy * (1 - fx) + g11 * fy * fx)
+
+
+@partial(jax.jit, static_argnames=('box', 'filter_size', 'iters'))
+def background_mesh(img, valid=None, box=128, filter_size=3, iters=6):
+    """Estimate the background and noise maps of one frame.
+
+    Parameters
+    ----------
+    img : (H, W) float32 frame.
+    valid : optional (H, W) bool; False pixels (masked / zero-weight) are
+        excluded from the statistics.
+    Returns
+    -------
+    dict with ``back`` (H, W), ``rms`` (H, W), and the filtered meshes
+    ``back_mesh``/``rms_mesh`` ((ncy, ncx), for diagnostics/tests).
+    """
+    H, W = img.shape
+    if valid is None:
+        valid = jnp.ones_like(img, dtype=bool)
+    pad_y = (-H) % box
+    pad_x = (-W) % box
+    imgp = jnp.pad(img, ((0, pad_y), (0, pad_x)))
+    vp = jnp.pad(valid, ((0, pad_y), (0, pad_x)))
+    ncy, ncx = imgp.shape[0] // box, imgp.shape[1] // box
+    cells = imgp.reshape(ncy, box, ncx, box).transpose(0, 2, 1, 3) \
+        .reshape(ncy, ncx, box * box)
+    vcells = vp.reshape(ncy, box, ncx, box).transpose(0, 2, 1, 3) \
+        .reshape(ncy, ncx, box * box)
+    # also reject non-finite pixels
+    vcells = vcells & jnp.isfinite(cells)
+    cells = jnp.where(vcells, cells, 0.0)
+
+    def stats(keep):
+        n = jnp.maximum(jnp.sum(keep, axis=-1), 1)
+        s = jnp.sum(jnp.where(keep, cells, 0.0), axis=-1)
+        s2 = jnp.sum(jnp.where(keep, cells * cells, 0.0), axis=-1)
+        mean = s / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        return mean, jnp.sqrt(var), n
+
+    mean0, sigma0, _ = stats(vcells)
+
+    def clip_step(_, keep):
+        med = masked_median(cells, keep)
+        _, sigma, _ = stats(keep)
+        lo = med[..., None] - 3.0 * sigma[..., None]
+        hi = med[..., None] + 3.0 * sigma[..., None]
+        return vcells & (cells >= lo) & (cells <= hi)
+
+    keep = jax.lax.fori_loop(0, iters, clip_step, vcells)
+    mean, sigma, n = stats(keep)
+    med = masked_median(cells, keep)
+
+    # SExtractor crowded-field rule: if clipping changed sigma by <20%,
+    # the clipped mean is the background; otherwise use the mode estimator.
+    uncrowded = jnp.abs(sigma - sigma0) < 0.2 * jnp.where(sigma0 == 0, 1.0,
+                                                          sigma0)
+    back = jnp.where(uncrowded, mean, 2.5 * med - 1.5 * mean)
+
+    # cells with (almost) no valid pixels inherit the global median mesh value
+    good_cell = n > box  # at least one row's worth of valid pixels
+    ok = jnp.sum(good_cell) > 0
+    gback = masked_median(back.ravel(), good_cell.ravel(), axis=0)
+    grms = masked_median(sigma.ravel(), good_cell.ravel(), axis=0)
+    back = jnp.where(good_cell, back, jnp.where(ok, gback, 0.0))
+    sigma = jnp.where(good_cell, sigma, jnp.where(ok, grms, 0.0))
+
+    back_mesh = median_filter_mesh(back, filter_size)
+    rms_mesh = median_filter_mesh(sigma, filter_size)
+    return {
+        'back': interpolate_mesh(back_mesh, (H, W), box),
+        'rms': interpolate_mesh(rms_mesh, (H, W), box),
+        'back_mesh': back_mesh,
+        'rms_mesh': rms_mesh,
+    }

@@ -1,0 +1,232 @@
+"""Source detection on device — the SExtractor detection-pass replacement.
+
+Covers the reference's per-image ``sex`` invocations
+(``zuds/sextractor.py:110-150``, config ``zuds/astromatic/sextractor.conf``):
+matched-filter detection at DETECT_THRESH=1.5 sigma with DETECT_MINAREA=5,
+8-connected component extraction, isophotal moments/shape measurement, and
+flag propagation (IMAFLAGS_ISO / FLAGS_WEIGHT analogues).
+
+TPU design notes
+----------------
+* Connected-component labeling runs as alternating 3x3 min-pool sweeps
+  (``lax.reduce_window``) and pointer-jumping rounds (``labels = labels[labels]``
+  gather), so label convergence takes O(log diameter) rounds instead of
+  O(diameter) sweeps — data-independent trip count, fully jittable.
+* Components are identified by the flat index of their minimum pixel; that
+  pixel is the component "root" (labels[i] == i), which gives a free compact
+  renumbering via a cumulative sum — no host round trip.
+* Per-component statistics are ``segment_sum``s into fixed-capacity buffers
+  of MAX_DETECTIONS rows (ragged outputs become masked fixed-shape tensors).
+
+Deblending: single-threshold extraction (no 32-level multi-threshold split
+yet); on subtraction frames — the detection workload of this pipeline —
+blending is rare. Tracked as a known gap vs SExtractor.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import (DETECT_NSIGMA, DETECT_NPIX, MAX_DETECTIONS)
+from .convolve import conv2_same, DEFAULT_FILTER
+
+__all__ = ['label_components', 'detect_sources', 'DETECTION_FIELDS']
+
+INT_MAX = np.iinfo(np.int32).max
+
+
+def _minpool3(x):
+    return jax.lax.reduce_window(
+        x, INT_MAX, jax.lax.min, window_dimensions=(3, 3),
+        window_strides=(1, 1), padding='SAME')
+
+
+@partial(jax.jit, static_argnames=('max_rounds', 'sweeps', 'hops'))
+def label_components(det, max_rounds=64, sweeps=3, hops=10):
+    """8-connected labeling of boolean mask ``det``.
+
+    Returns int32 labels: INT_MAX on background, else the flat index of the
+    component's minimum pixel. Each round runs ``sweeps`` 3x3 min-pool
+    propagations (spreading labels across the 2-D footprint) followed by
+    ``hops`` pointer-jumping steps ``l <- min(l, l[l])`` (each hop doubles the
+    distance traveled along monotone label chains). Rounds repeat under a
+    ``while_loop`` until the labeling reaches its fixed point — compact
+    astronomical footprints converge in 1-2 rounds; ``max_rounds`` bounds
+    adversarial snake-shaped components.
+    """
+    H, W = det.shape
+    flat = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    labels = jnp.where(det, flat, INT_MAX)
+
+    def one_round(labels):
+        def sweep(_, l):
+            return jnp.where(det, _minpool3(l), INT_MAX)
+        labels = jax.lax.fori_loop(0, sweeps, sweep, labels)
+
+        def hop(_, l):
+            safe = jnp.where(l == INT_MAX, 0, l)
+            hopped = jnp.where(det, l.ravel()[safe], INT_MAX)
+            return jnp.minimum(l, hopped)
+
+        return jax.lax.fori_loop(0, hops, hop, labels)
+
+    def cond(state):
+        labels, prev_changed, i = state
+        return prev_changed & (i < max_rounds)
+
+    def body(state):
+        labels, _, i = state
+        new = one_round(labels)
+        changed = jnp.any(new != labels)
+        return new, changed, i + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.array(True), jnp.array(0)))
+    return labels
+
+
+DETECTION_FIELDS = [
+    'x', 'y', 'x2', 'y2', 'xy', 'a', 'b', 'theta', 'elongation', 'fwhm',
+    'flux', 'peak', 'npix', 'xmin', 'xmax', 'ymin', 'ymax', 'imaflags',
+    'flags', 'thresh',
+]
+
+
+@partial(jax.jit, static_argnames=('max_det', 'minarea'))
+def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
+                   nsigma=DETECT_NSIGMA, minarea=DETECT_NPIX,
+                   max_det=MAX_DETECTIONS, kernel=None):
+    """Detect sources on a background-subtracted frame.
+
+    Parameters
+    ----------
+    bkgsub : (H, W) background-subtracted pixels.
+    rms : (H, W) per-pixel noise sigma.
+    mask : optional (H, W) uint bitmask; OR-ed over each footprint into
+        ``imaflags`` (the IMAFLAGS_ISO analogue).
+    weight_ok : optional (H, W) bool; False pixels can't trigger detections
+        and set bit 0 of ``flags`` (FLAGS_WEIGHT analogue).
+    kernel : detection filter, default SExtractor's 3x3 pyramid.
+
+    Returns
+    -------
+    dict of fixed-size (max_det,) arrays (see DETECTION_FIELDS) plus
+    ``n`` (detection count), ``labels`` ((H, W) int32 segmentation map with
+    compact ids: 0 = background, 1..n = sources) — the SEGMENTATION
+    check-image analogue.
+    """
+    H, W = bkgsub.shape
+    if kernel is None:
+        kernel = DEFAULT_FILTER
+    kernel = jnp.asarray(kernel, dtype=bkgsub.dtype)
+    if weight_ok is None:
+        weight_ok = jnp.ones((H, W), dtype=bool)
+    if mask is None:
+        mask = jnp.zeros((H, W), dtype=jnp.uint32)
+
+    good = weight_ok & (rms > 0) & jnp.isfinite(bkgsub)
+    img = jnp.where(good, bkgsub, 0.0)
+
+    # matched filter; the filtered noise level uses exact per-pixel error
+    # propagation sigma_f = sqrt(conv(rms^2, k^2))
+    filt = conv2_same(img, kernel)
+    var_f = conv2_same(jnp.where(good, rms * rms, 0.0), kernel * kernel)
+    sigma_f = jnp.sqrt(jnp.maximum(var_f, 1e-30))
+    thresh_map = nsigma * sigma_f
+    det = good & (filt > thresh_map)
+
+    labels = label_components(det)
+
+    # compact component ids: component roots satisfy labels[i] == flat(i)
+    flat = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    roots = det & (labels == flat)
+    order = jnp.cumsum(roots.ravel().astype(jnp.int32))  # 1-based at roots
+    comp_of_root = order.reshape(H, W)                   # valid at roots
+    safe_labels = jnp.where(det, labels, 0)
+    comp = jnp.where(det, comp_of_root.ravel()[safe_labels], 0)
+    # components beyond capacity fold into segment max_det+1 (discard row)
+    comp_cap = jnp.where(comp > max_det, max_det + 1, comp)
+
+    nseg = max_det + 2
+    cid = comp_cap.ravel()
+
+    def seg_sum(vals):
+        return jax.ops.segment_sum(vals.ravel(), cid, num_segments=nseg)
+
+    def seg_max(vals):
+        return jax.ops.segment_max(vals.ravel(), cid, num_segments=nseg)
+
+    def seg_min(vals):
+        return jax.ops.segment_min(vals.ravel(), cid, num_segments=nseg)
+
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing='ij')
+    # isophotal pixel values (detection image, positive part for moments)
+    vals = jnp.where(det, img, 0.0)
+    pos = jnp.maximum(vals, 0.0)
+
+    npix = seg_sum(det.astype(jnp.float32))
+    flux = seg_sum(vals)
+    peak = seg_max(jnp.where(det, vals, -jnp.inf))
+    wsum = jnp.maximum(seg_sum(pos), 1e-20)
+    xbar = seg_sum(pos * xx) / wsum
+    ybar = seg_sum(pos * yy) / wsum
+    x2 = seg_sum(pos * xx * xx) / wsum - xbar * xbar
+    y2 = seg_sum(pos * yy * yy) / wsum - ybar * ybar
+    xy = seg_sum(pos * xx * yy) / wsum - xbar * ybar
+    # SExtractor's minimum-variance floor (1/12 px from pixelization)
+    x2 = jnp.maximum(x2, 1.0 / 12.0)
+    y2 = jnp.maximum(y2, 1.0 / 12.0)
+    xmin = seg_min(jnp.where(det, xx, jnp.inf))
+    xmax = seg_max(jnp.where(det, xx, -jnp.inf))
+    ymin = seg_min(jnp.where(det, yy, jnp.inf))
+    ymax = seg_max(jnp.where(det, yy, -jnp.inf))
+    imaflags = seg_max(jnp.where(det, mask, 0).astype(jnp.int32))
+    wflag = seg_max(jnp.where(det & ~weight_ok, 1, 0))
+    # note: OR over footprint approximated by max when bits are disjoint;
+    # exact OR per bit:
+    imaflags_or = jnp.zeros(nseg, dtype=jnp.int32)
+    m32 = jnp.where(det, mask, 0).astype(jnp.int32)
+    for bit in range(18):
+        has = seg_max((m32 >> bit) & 1)
+        imaflags_or = imaflags_or | (has << bit)
+    imaflags = imaflags_or
+    thr_at_peak = seg_max(jnp.where(det, thresh_map, -jnp.inf))
+
+    # shape parameters (SExtractor A/B/THETA from central moments)
+    t1 = (x2 + y2) / 2.0
+    t2 = jnp.sqrt(jnp.maximum(((x2 - y2) / 2.0) ** 2 + xy * xy, 0.0))
+    a = jnp.sqrt(jnp.maximum(t1 + t2, 1e-12))
+    b = jnp.sqrt(jnp.maximum(t1 - t2, 1e-12))
+    theta = 0.5 * jnp.arctan2(2.0 * xy, x2 - y2)
+    elong = a / jnp.maximum(b, 1e-12)
+    fwhm = 2.0 * jnp.sqrt(jnp.log(2.0) * (x2 + y2))
+
+    # validity: real component rows are 1..max_det with npix >= minarea
+    rows = jnp.arange(nseg)
+    valid = (rows >= 1) & (rows <= max_det) & (npix >= minarea)
+
+    # edge flag (FLAGS bit 3 in SExtractor: object truncated at boundary)
+    edge = ((xmin <= 0) | (ymin <= 0) | (xmax >= W - 1) | (ymax >= H - 1))
+    flags = jnp.where(wflag > 0, 1, 0) | jnp.where(edge, 8, 0)
+
+    sl = slice(1, max_det + 1)
+    out = {
+        'x': xbar[sl], 'y': ybar[sl], 'x2': x2[sl], 'y2': y2[sl],
+        'xy': xy[sl], 'a': a[sl], 'b': b[sl], 'theta': theta[sl],
+        'elongation': elong[sl], 'fwhm': fwhm[sl], 'flux': flux[sl],
+        'peak': peak[sl], 'npix': npix[sl], 'xmin': xmin[sl],
+        'xmax': xmax[sl], 'ymin': ymin[sl], 'ymax': ymax[sl],
+        'imaflags': imaflags[sl], 'flags': flags[sl],
+        'thresh': thr_at_peak[sl],
+        'valid': valid[sl],
+    }
+    out['n'] = jnp.sum(valid[sl].astype(jnp.int32))
+    # compact segmentation map: sources failing minarea are zeroed
+    keep = jnp.concatenate([jnp.zeros(1, bool), valid[1:]])
+    seg = jnp.where(keep[comp_cap.clip(0, max_det + 1)], comp_cap, 0)
+    out['labels'] = seg.astype(jnp.int32)
+    return out
