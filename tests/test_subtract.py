@@ -1,0 +1,157 @@
+"""A&L PSF-matching subtraction tests on synthetic frames."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zuds_tpu.ops.subtract import (KernelBasis, fit_kernel, apply_kernel,
+                                   subtract_frames, spatial_terms)
+
+
+def gauss2d(yy, xx, x0, y0, sigma):
+    return np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * sigma ** 2)) \
+        / (2 * np.pi * sigma ** 2)
+
+
+def make_pair(rng, H=256, W=256, nstars=40, sig_ref=1.5, sig_sci=2.2,
+              noise=1.0, flux_ratio=1.0, transient=None):
+    """Reference (sharper) + science (blurrier) frames of the same stars."""
+    yy, xx = np.mgrid[0:H, 0:W]
+    ref = np.zeros((H, W))
+    sci = np.zeros((H, W))
+    xs = rng.uniform(20, W - 20, nstars)
+    ys = rng.uniform(20, H - 20, nstars)
+    fluxes = rng.uniform(3000, 30000, nstars)
+    for x, y, f in zip(xs, ys, fluxes):
+        ref += f * gauss2d(yy, xx, x, y, sig_ref)
+        sci += flux_ratio * f * gauss2d(yy, xx, x, y, sig_sci)
+    if transient is not None:
+        tx, ty, tf = transient
+        sci += tf * gauss2d(yy, xx, tx, ty, sig_sci)
+    ref = (ref + rng.normal(0, noise, (H, W))).astype('f4')
+    sci = (sci + rng.normal(0, noise, (H, W))).astype('f4')
+    return ref, sci, xs, ys, fluxes
+
+
+def run_fit(ref, sci, xs, ys, fluxes, noise=1.0, order=1, nreg=1,
+            ksize=15, stamp=31, smax=32):
+    basis = KernelBasis(ksize, seeing_sigma=1.5)
+    ivar = np.full(ref.shape, 1.0 / (2 * noise ** 2), dtype='f4')
+    idx = np.argsort(fluxes)[::-1][:smax]
+    sx = np.zeros(smax, dtype='f4')
+    sy = np.zeros(smax, dtype='f4')
+    sv = np.zeros(smax, dtype=bool)
+    sx[:len(idx)] = xs[idx]
+    sy[:len(idx)] = ys[idx]
+    sv[:len(idx)] = True
+    fit = fit_kernel(jnp.array(ref), jnp.array(sci), jnp.array(ivar),
+                     jnp.array(sx), jnp.array(sy), jnp.array(sv),
+                     basis.gx, basis.gy, basis.sums, jnp.array(basis.b0_2d),
+                     stamp=stamp, order=order, nreg=nreg)
+    return basis, fit
+
+
+def test_spatial_terms():
+    assert spatial_terms(0) == [(0, 0)]
+    assert len(spatial_terms(4)) == 15
+
+
+def test_basis_sum_normalization():
+    basis = KernelBasis(15, seeing_sigma=1.5)
+    dense = np.array(basis.dense())
+    assert dense[0].sum() == pytest.approx(1.0, abs=1e-5)
+    for n in range(1, dense.shape[0]):
+        assert dense[n].sum() == pytest.approx(0.0, abs=1e-4), n
+
+
+def test_matched_subtraction_residuals(rng):
+    """Stars common to both frames vanish to the noise level."""
+    ref, sci, xs, ys, fluxes = make_pair(rng)
+    basis, fit = run_fit(ref, sci, xs, ys, fluxes)
+    model = np.array(apply_kernel(jnp.array(ref), fit['coeffs'], basis.gx,
+                                  basis.gy, basis.sums,
+                                  jnp.array(basis.b0_2d), order=1, nreg=1))
+    resid = sci - model
+    inner = np.s_[16:-16, 16:-16]
+    # residual rms ~ combined noise (no systematic star residuals)
+    assert np.std(resid[inner]) < 3.0
+    # star positions show no strong residuals
+    for x, y in zip(xs[:10], ys[:10]):
+        r = resid[int(y) - 3:int(y) + 4, int(x) - 3:int(x) + 4]
+        assert np.abs(r).max() < 15.0, (x, y)
+
+
+def test_transient_survives(rng):
+    """A source present only in sci survives subtraction at full flux."""
+    ref, sci, xs, ys, fluxes = make_pair(rng, transient=(130.0, 140.0,
+                                                         20000.0))
+    basis, fit = run_fit(ref, sci, xs, ys, fluxes)
+    model = np.array(apply_kernel(jnp.array(ref), fit['coeffs'], basis.gx,
+                                  basis.gy, basis.sums,
+                                  jnp.array(basis.b0_2d), order=1, nreg=1))
+    resid = sci - model
+    # flux in r=6 box around the transient
+    box = resid[140 - 6:140 + 7, 130 - 6:130 + 7]
+    assert box.sum() == pytest.approx(20000.0, rel=0.1)
+
+
+def test_photometric_ratio_recovered(rng):
+    """sci = 2x flux of ref: kernel sum (B_0 coefficient) must be ~2."""
+    ref, sci, xs, ys, fluxes = make_pair(rng, flux_ratio=2.0)
+    basis, fit = run_fit(ref, sci, xs, ys, fluxes, order=0)
+    coeffs = np.array(fit['coeffs'])
+    # with sum-normalized basis the kernel integral is exactly the B_0 coeff
+    assert coeffs[0, 0] == pytest.approx(2.0, rel=0.02)
+
+
+def test_background_term(rng):
+    """A constant offset between frames lands in the background coeff."""
+    ref, sci, xs, ys, fluxes = make_pair(rng)
+    sci = sci + 150.0
+    basis, fit = run_fit(ref, sci, xs, ys, fluxes, order=0)
+    coeffs = np.array(fit['coeffs'])
+    assert coeffs[0, -1] == pytest.approx(150.0, abs=2.0)
+
+
+def test_subtract_frames_nodata(rng):
+    ref, sci, xs, ys, fluxes = make_pair(rng, H=128, W=128, nstars=15)
+    basis, fit = run_fit(ref, sci, xs, ys, fluxes, smax=15)
+    rms = np.ones(ref.shape, dtype='f4')
+    bad = np.zeros(ref.shape, dtype=bool)
+    bad[50:60, 50:60] = True
+    diff, outrms = subtract_frames(jnp.array(sci), jnp.array(ref),
+                                   jnp.array(rms), jnp.array(rms),
+                                   jnp.array(bad), fit, basis,
+                                   order=1, nreg=1)
+    diff = np.array(diff)
+    outrms = np.array(outrms)
+    assert np.allclose(diff[50:60, 50:60], 1e-30)
+    assert outrms[55, 55] > 200.0     # BIG_RMS there
+    assert outrms[10, 10] < 3.0       # ~sqrt(2) x noise elsewhere
+
+
+def test_spatially_varying_regions(rng):
+    """3x3 region fit handles a flux ratio that varies across the frame."""
+    # enough stars that every one of the 9 regions gets ~25 stamps
+    # (hotpants runs ~100 substamps per region at production scale)
+    H = W = 513
+    nstars = 240
+    yy, xx = np.mgrid[0:H, 0:W]
+    ref = np.zeros((H, W))
+    sci = np.zeros((H, W))
+    xs = rng.uniform(20, W - 20, nstars)
+    ys = rng.uniform(20, H - 20, nstars)
+    fluxes = rng.uniform(5000, 20000, nstars)
+    for x, y, f in zip(xs, ys, fluxes):
+        ratio = 1.0 + 0.5 * (x / W)      # ratio varies 1.0 -> 1.5 in x
+        ref += f * gauss2d(yy, xx, x, y, 1.5)
+        sci += ratio * f * gauss2d(yy, xx, x, y, 2.0)
+    ref = (ref + rng.normal(0, 1.0, (H, W))).astype('f4')
+    sci = (sci + rng.normal(0, 1.0, (H, W))).astype('f4')
+    basis, fit = run_fit(ref, sci, xs, ys, fluxes, order=1, nreg=3,
+                         smax=nstars)
+    model = np.array(apply_kernel(jnp.array(ref), fit['coeffs'], basis.gx,
+                                  basis.gy, basis.sums,
+                                  jnp.array(basis.b0_2d), order=1, nreg=3))
+    resid = sci - model
+    inner = np.s_[16:-16, 16:-16]
+    assert np.std(resid[inner]) < 3.5

@@ -1,0 +1,152 @@
+"""Stack combination on device — the SWarp COMBINE replacement.
+
+Implements the combine semantics of the reference's coadd step
+(``zuds/coadd.py:126-163`` driving swarp with ``makecoadd/default.swarp``
+COMBINE_TYPE CLIPPED for science pixels and ``mask.swarp`` COMBINE_TYPE AND
+for masks, plus the FLXSCALE zeropoint normalization of
+``zuds/swarp.py:29-39``):
+
+* every input frame is scaled to a common zeropoint (COADD_ZP=25) by
+  ``10**(-0.4*(magzp - 25))``; its inverse-variance weight scales by the
+  inverse square;
+* CLIPPED combine (Gruen et al. 2014, as in SWarp): pixels deviating from
+  the stack median by more than CLIP_NSIGMA x their own sigma are rejected,
+  the rest are inverse-variance weighted-mean combined;
+* output weight map is the summed surviving weight (zero => the alignment
+  no-data bit, ``zuds/mask.py:26-33``);
+* masks combine with AND (defect present in every epoch) per the reference;
+  an OR mode is provided for conservative propagation.
+
+Inputs are the already-warped (epoch, H, W) stacks from ``ops/resample``.
+Everything is elementwise/VPU work fused by XLA; epochs stream through a
+``lax.scan`` variant for stacks too deep for HBM (see ``clipped_coadd_scan``).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import CLIP_NSIGMA, COADD_ZP
+
+__all__ = ['fluxscale', 'clipped_coadd', 'combine_masks', 'clipped_coadd_scan']
+
+
+def fluxscale(magzp, target_zp=COADD_ZP):
+    """SWarp FLXSCALE factor normalizing a frame to the common zeropoint."""
+    return 10.0 ** (-0.4 * (magzp - target_zp))
+
+
+@partial(jax.jit, static_argnames=('nsigma',))
+def clipped_coadd(imgs, weights, scales=None, nsigma=CLIP_NSIGMA):
+    """CLIPPED-mean combine of a warped epoch stack.
+
+    Parameters
+    ----------
+    imgs : (N, H, W) warped science pixels.
+    weights : (N, H, W) inverse-variance weights; 0 marks no-data.
+    scales : optional (N,) FLXSCALE factors (pixels multiply, weights divide
+        by square).
+    Returns dict: ``coadd`` (H, W), ``weight`` (H, W) summed surviving
+    weight, ``nclip`` (H, W) rejected-epoch count, ``nexp`` (H, W)
+    contributing-epoch count.
+    """
+    if scales is not None:
+        imgs = imgs * scales[:, None, None]
+        weights = weights / (scales[:, None, None] ** 2)
+    ok = weights > 0
+    sigma = jnp.where(ok, 1.0 / jnp.sqrt(jnp.maximum(weights, 1e-30)),
+                      jnp.inf)
+
+    # stack median over valid epochs (per pixel)
+    big = jnp.inf
+    vals = jnp.where(ok, imgs, big)
+    svals = jnp.sort(vals, axis=0)
+    cnt = jnp.sum(ok, axis=0)
+    n = imgs.shape[0]
+    lo = jnp.clip((cnt - 1) // 2, 0, n - 1)
+    hi = jnp.clip(cnt // 2, 0, n - 1)
+    med = 0.5 * (jnp.take_along_axis(svals, lo[None], axis=0)
+                 + jnp.take_along_axis(svals, hi[None], axis=0))[0]
+    med = jnp.where(cnt > 0, med, 0.0)
+
+    keep = ok & (jnp.abs(imgs - med[None]) <= nsigma * sigma)
+    wsum = jnp.sum(jnp.where(keep, weights, 0.0), axis=0)
+    csum = jnp.sum(jnp.where(keep, weights * imgs, 0.0), axis=0)
+    coadd = csum / jnp.where(wsum > 0, wsum, 1.0)
+    return {
+        'coadd': jnp.where(wsum > 0, coadd, 0.0),
+        'weight': wsum,
+        'nclip': (cnt - jnp.sum(keep, axis=0)).astype(jnp.int32),
+        'nexp': cnt.astype(jnp.int32),
+    }
+
+
+@partial(jax.jit, static_argnames=('mode',))
+def combine_masks(masks, coverage=None, mode='and'):
+    """Combine warped bitmasks: 'and' (reference coadd behavior) or 'or'.
+
+    With 'and', a bit survives only if set in every *covering* epoch; pixels
+    with no coverage at all return 0 (callers set the no-data bit from the
+    coadd weight map).
+    """
+    masks = masks.astype(jnp.uint32)
+    if coverage is None:
+        coverage = jnp.ones(masks.shape, dtype=bool)
+    else:
+        coverage = coverage.astype(bool)
+    if mode == 'or':
+        return jnp.bitwise_or.reduce(
+            jnp.where(coverage, masks, 0), axis=0).astype(jnp.uint16)
+    # AND over covering epochs: uncovered epochs contribute all-ones
+    allbits = jnp.uint32(0xFFFFFFFF)
+    filled = jnp.where(coverage, masks, allbits)
+    out = jnp.bitwise_and.reduce(filled, axis=0)
+    anycov = jnp.any(coverage, axis=0)
+    return jnp.where(anycov, out, 0).astype(jnp.uint16)
+
+
+def clipped_coadd_scan(imgs, weights, scales=None, nsigma=CLIP_NSIGMA,
+                       med=None):
+    """Memory-bounded CLIPPED combine: two streaming passes over epochs.
+
+    For stacks too deep to hold in HBM (the reference's analogue is SWarp's
+    row-blocked VMEM_DIR streaming). Pass 1 estimates the center as the
+    weighted mean of a 2-epoch-batch scan (or uses a supplied ``med``);
+    pass 2 clips against it. Trades exact-median clipping for O(1) memory in
+    epoch depth; at ZTF depths (<=50) prefer ``clipped_coadd``.
+    """
+    if scales is not None:
+        imgs = imgs * scales[:, None, None]
+        weights = weights / (scales[:, None, None] ** 2)
+
+    def wmean(carry, xw):
+        s, w = carry
+        x, wt = xw
+        return (s + x * wt, w + wt), None
+
+    if med is None:
+        (s, w), _ = jax.lax.scan(wmean, (jnp.zeros(imgs.shape[1:]),
+                                         jnp.zeros(imgs.shape[1:])),
+                                 (imgs, weights))
+        med = s / jnp.where(w > 0, w, 1.0)
+
+    def clipsum(carry, xw):
+        s, w, nc, ne = carry
+        x, wt = xw
+        ok = wt > 0
+        sig = jnp.where(ok, 1.0 / jnp.sqrt(jnp.maximum(wt, 1e-30)), jnp.inf)
+        keep = ok & (jnp.abs(x - med) <= nsigma * sig)
+        return (s + jnp.where(keep, x * wt, 0.0),
+                w + jnp.where(keep, wt, 0.0),
+                nc + (ok & ~keep).astype(jnp.int32),
+                ne + ok.astype(jnp.int32)), None
+
+    zero = jnp.zeros(imgs.shape[1:])
+    izero = jnp.zeros(imgs.shape[1:], jnp.int32)
+    (s, w, nc, ne), _ = jax.lax.scan(clipsum, (zero, zero, izero, izero),
+                                     (imgs, weights))
+    coadd = s / jnp.where(w > 0, w, 1.0)
+    return {'coadd': jnp.where(w > 0, coadd, 0.0), 'weight': w,
+            'nclip': nc, 'nexp': ne}
