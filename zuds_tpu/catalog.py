@@ -1,0 +1,227 @@
+"""Pipeline catalogs (reference: zuds/catalog.py).
+
+``PipelineFITSCatalog.from_image`` replaces the SExtractor subprocess + LDAC
+round trip (``zuds/catalog.py:95-143``): the detection op runs on device and
+the result materializes as a structured numpy array with SExtractor-named
+columns, filtered with the same ``kill_flagged`` rules (rows whose isophotal
+footprint touches a fatal mask bit or zero-weight pixel are dropped).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .constants import BAD_SUM, DETECT_NSIGMA, MAX_DETECTIONS
+from .file import File
+from .fits import read_fits, write_fits, table_to_hdu, Header, HDU
+
+__all__ = ['PipelineFITSCatalog', 'PipelineRegionFile']
+
+# SExtractor-compatible output columns (reference: zuds/astromatic/
+# sextractor.param). WIN params alias the plain ones (no windowed refit yet).
+CATALOG_DTYPE = [
+    ('NUMBER', 'i4'),
+    ('X_IMAGE', 'f4'), ('Y_IMAGE', 'f4'),
+    ('XWIN_IMAGE', 'f4'), ('YWIN_IMAGE', 'f4'),
+    ('X_WORLD', 'f8'), ('Y_WORLD', 'f8'),
+    ('XWIN_WORLD', 'f8'), ('YWIN_WORLD', 'f8'),
+    ('A_IMAGE', 'f4'), ('B_IMAGE', 'f4'), ('THETA_IMAGE', 'f4'),
+    ('AWIN_IMAGE', 'f4'), ('BWIN_IMAGE', 'f4'),
+    ('ERRAWIN_IMAGE', 'f4'), ('ERRBWIN_IMAGE', 'f4'),
+    ('ERRTHETAWIN_IMAGE', 'f4'),
+    ('ELONGATION', 'f4'), ('FWHM_IMAGE', 'f4'),
+    ('FLUX_ISO', 'f4'), ('FLUX_AUTO', 'f4'), ('FLUXERR_AUTO', 'f4'),
+    ('FLUX_APER', 'f4'), ('FLUXERR_APER', 'f4'),
+    ('MAG_AUTO', 'f4'), ('MAGERR_AUTO', 'f4'),
+    ('FLUX_MAX', 'f4'), ('ISOAREA_IMAGE', 'f4'),
+    ('FLAGS', 'i2'), ('FLAGS_WEIGHT', 'i2'), ('IMAFLAGS_ISO', 'i4'),
+    ('GOODCUT', 'i2'), ('RB', 'f4'),
+]
+
+
+class PipelineFITSCatalog(File):
+    """Catalog of detections on one image, disk-mapped as a FITS bintable."""
+
+    __diskmapped_cached_properties__ = ['_path', '_data']
+
+    image = None
+
+    @property
+    def data(self):
+        try:
+            return self._data
+        except AttributeError:
+            self.load()
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        self._data = value
+
+    def __len__(self):
+        return len(self.data)
+
+    def load(self):
+        hdus = read_fits(self.local_path)
+        tables = [h for h in hdus if h.is_table]
+        self._data = tables[-1].data
+        self.header = tables[-1].header
+
+    def save(self, path=None):
+        if path is not None:
+            self.map_to_local_file(path)
+        header = getattr(self, 'header', None)
+        write_fits(self.local_path, [table_to_hdu(self.data, header)])
+
+    @classmethod
+    def from_file(cls, fname):
+        obj = cls()
+        obj.map_to_local_file(fname)
+        obj.basename = os.path.basename(fname)
+        obj.load()
+        return obj
+
+    @classmethod
+    def from_image(cls, image, kill_flagged=True, tmpdir=None,
+                   nsigma=DETECT_NSIGMA, max_det=MAX_DETECTIONS):
+        """Detect sources on ``image`` and build its catalog.
+
+        Runs the device detection op on the background-subtracted frame,
+        measures r=3px aperture fluxes in the same pass, attaches the
+        segmentation map as ``image.segm_image``, and applies the
+        reference's ``kill_flagged`` row filter.
+        """
+        import jax.numpy as jnp
+        from .ops.detect import detect_sources
+        from .ops.photometry import aperture_photometry_batched
+
+        bkgsub = np.ascontiguousarray(
+            image.background_subtracted_image.data).astype(np.float32)
+        rms = np.ascontiguousarray(image.rms_image.data).astype(np.float32)
+        if image.mask_image is not None:
+            mask = np.ascontiguousarray(image.mask_image.data) \
+                .astype(np.uint32)
+        else:
+            mask = np.zeros(bkgsub.shape, dtype=np.uint32)
+        weight_ok = np.asarray(image.weight_image.data) > 0
+
+        out = detect_sources(jnp.asarray(bkgsub), jnp.asarray(rms),
+                             jnp.asarray(mask), jnp.asarray(weight_ok),
+                             nsigma=nsigma, max_det=max_det)
+        valid = np.array(out['valid'])
+        idx = np.nonzero(valid)[0]
+        n = idx.size
+
+        xs = np.array(out['x'])[idx]
+        ys = np.array(out['y'])[idx]
+
+        phot = aperture_photometry_batched(
+            jnp.asarray(bkgsub), jnp.asarray(rms), jnp.asarray(mask),
+            jnp.asarray(xs.astype('f4')), jnp.asarray(ys.astype('f4')))
+
+        cat = np.zeros(n, dtype=CATALOG_DTYPE)
+        cat['NUMBER'] = np.arange(1, n + 1)
+        # SExtractor pixel coordinates are FITS 1-based
+        cat['X_IMAGE'] = xs + 1.0
+        cat['Y_IMAGE'] = ys + 1.0
+        cat['XWIN_IMAGE'] = cat['X_IMAGE']
+        cat['YWIN_IMAGE'] = cat['Y_IMAGE']
+        if 'CRVAL1' in image.header:
+            ra, dec = image.wcs.pix2sky_0(xs, ys)
+            cat['X_WORLD'] = ra
+            cat['Y_WORLD'] = dec
+            cat['XWIN_WORLD'] = ra
+            cat['YWIN_WORLD'] = dec
+        for src, dst in [('a', 'A_IMAGE'), ('b', 'B_IMAGE'),
+                         ('elongation', 'ELONGATION'),
+                         ('fwhm', 'FWHM_IMAGE'), ('flux', 'FLUX_ISO'),
+                         ('peak', 'FLUX_MAX'), ('npix', 'ISOAREA_IMAGE')]:
+            cat[dst] = np.array(out[src])[idx]
+        cat['THETA_IMAGE'] = np.degrees(np.array(out['theta'])[idx])
+        cat['AWIN_IMAGE'] = cat['A_IMAGE']
+        cat['BWIN_IMAGE'] = cat['B_IMAGE']
+        cat['FLAGS'] = np.array(out['flags'])[idx] & ~np.int32(1)
+        cat['FLAGS_WEIGHT'] = (np.array(out['flags'])[idx] & 1)
+        cat['IMAFLAGS_ISO'] = np.array(out['imaflags'])[idx]
+        cat['FLUX_APER'] = np.array(phot['flux'])
+        cat['FLUXERR_APER'] = np.array(phot['fluxerr'])
+        # FLUX_AUTO: isophotal flux as the stand-in total (Kron radii TODO)
+        cat['FLUX_AUTO'] = cat['FLUX_ISO']
+        cat['FLUXERR_AUTO'] = cat['FLUXERR_APER']
+        zp = image.header.get('MAGZP', 0.0) or 0.0
+        with np.errstate(divide='ignore', invalid='ignore'):
+            cat['MAG_AUTO'] = zp - 2.5 * np.log10(
+                np.where(cat['FLUX_AUTO'] > 0, cat['FLUX_AUTO'], np.nan))
+            cat['MAGERR_AUTO'] = 1.0857 * cat['FLUXERR_AUTO'] \
+                / np.where(cat['FLUX_AUTO'] > 0, cat['FLUX_AUTO'], np.nan)
+        cat['GOODCUT'] = 0
+        cat['RB'] = np.nan
+
+        if kill_flagged:
+            # reference rules (zuds/catalog.py:118-131): drop rows whose
+            # isophotal area touches a fatal mask bit or zero-weight pixel
+            good = ((cat['IMAFLAGS_ISO'] & BAD_SUM) == 0) \
+                & (cat['FLAGS_WEIGHT'] == 0)
+            cat = cat[good]
+            cat['NUMBER'] = np.arange(1, len(cat) + 1)
+
+        obj = cls()
+        obj.image = image
+        obj.header = Header()
+        obj.header.set('SEXNNW', False, 'device detection op, not SE')
+        obj.header.set('NDETECT', len(cat))
+        obj.header.set('NSIGMA', float(nsigma))
+        obj.data = cat
+        if image.basename:
+            obj.basename = image.basename.replace('.fits', '.cat')
+
+        # attach the segmentation check-image
+        seg = np.array(out['labels']).astype(np.int32)
+        image._set_product('_segmimg', seg, dtype='i4')
+
+        if image.ismapped:
+            obj.map_to_local_file(os.path.join(
+                os.path.dirname(image.local_path), obj.basename))
+            obj.save()
+        image.catalog = obj
+        return obj
+
+
+class PipelineRegionFile(File):
+    """DS9 region file rendering of a catalog (reference:
+    zuds/catalog.py:12-65): green circles for GOODCUT rows, red otherwise."""
+
+    catalog = None
+
+    @classmethod
+    def from_catalog(cls, catalog, path=None):
+        obj = cls()
+        obj.catalog = catalog
+        if catalog.basename:
+            obj.basename = catalog.basename.replace('.cat', '.reg')
+        lines = ['# Region file format: DS9 version 4.1',
+                 'global width=2 font="helvetica 10 normal roman"', 'icrs']
+        data = catalog.data
+        for row in data:
+            color = 'green' if row['GOODCUT'] == 1 else 'red'
+            lines.append(
+                f"circle({row['X_WORLD']:.7f},{row['Y_WORLD']:.7f},5\") "
+                f"# color={color}")
+        obj.content = '\n'.join(lines) + '\n'
+        if path is None and catalog.ismapped:
+            path = catalog.local_path.replace('.cat', '.reg')
+        if path is not None:
+            obj.map_to_local_file(path)
+            obj.save()
+        return obj
+
+    def save(self, path=None):
+        if path is not None:
+            self.map_to_local_file(path)
+        with open(self.local_path, 'w') as f:
+            f.write(self.content)
+
+    def load(self):
+        with open(self.local_path) as f:
+            self.content = f.read()

@@ -38,8 +38,9 @@ def fluxscale(magzp, target_zp=COADD_ZP):
     return 10.0 ** (-0.4 * (magzp - target_zp))
 
 
-@partial(jax.jit, static_argnames=('nsigma',))
-def clipped_coadd(imgs, weights, scales=None, nsigma=CLIP_NSIGMA):
+@partial(jax.jit, static_argnames=('nsigma', 'amp_frac'))
+def clipped_coadd(imgs, weights, scales=None, nsigma=CLIP_NSIGMA,
+                  amp_frac=0.3):
     """CLIPPED-mean combine of a warped epoch stack.
 
     Parameters
@@ -48,6 +49,10 @@ def clipped_coadd(imgs, weights, scales=None, nsigma=CLIP_NSIGMA):
     weights : (N, H, W) inverse-variance weights; 0 marks no-data.
     scales : optional (N,) FLXSCALE factors (pixels multiply, weights divide
         by square).
+    amp_frac : fractional amplitude tolerance added to the clip threshold
+        (SWarp's CLIP_AMPFRAC): protects undersampled stellar cores, where
+        epochs legitimately disagree by a fraction of the local signal due
+        to subpixel resampling phase (Gruen et al. 2014 sec. 3.2).
     Returns dict: ``coadd`` (H, W), ``weight`` (H, W) summed surviving
     weight, ``nclip`` (H, W) rejected-epoch count, ``nexp`` (H, W)
     contributing-epoch count.
@@ -71,7 +76,8 @@ def clipped_coadd(imgs, weights, scales=None, nsigma=CLIP_NSIGMA):
                  + jnp.take_along_axis(svals, hi[None], axis=0))[0]
     med = jnp.where(cnt > 0, med, 0.0)
 
-    keep = ok & (jnp.abs(imgs - med[None]) <= nsigma * sigma)
+    tol = nsigma * sigma + amp_frac * jnp.abs(med)[None]
+    keep = ok & (jnp.abs(imgs - med[None]) <= tol)
     wsum = jnp.sum(jnp.where(keep, weights, 0.0), axis=0)
     csum = jnp.sum(jnp.where(keep, weights * imgs, 0.0), axis=0)
     coadd = csum / jnp.where(wsum > 0, wsum, 1.0)
@@ -98,17 +104,17 @@ def combine_masks(masks, coverage=None, mode='and'):
         coverage = coverage.astype(bool)
     if mode == 'or':
         return jnp.bitwise_or.reduce(
-            jnp.where(coverage, masks, 0), axis=0).astype(jnp.uint16)
+            jnp.where(coverage, masks, 0), axis=0).astype(jnp.uint32)
     # AND over covering epochs: uncovered epochs contribute all-ones
     allbits = jnp.uint32(0xFFFFFFFF)
     filled = jnp.where(coverage, masks, allbits)
     out = jnp.bitwise_and.reduce(filled, axis=0)
     anycov = jnp.any(coverage, axis=0)
-    return jnp.where(anycov, out, 0).astype(jnp.uint16)
+    return jnp.where(anycov, out, 0).astype(jnp.uint32)
 
 
 def clipped_coadd_scan(imgs, weights, scales=None, nsigma=CLIP_NSIGMA,
-                       med=None):
+                       amp_frac=0.3, med=None):
     """Memory-bounded CLIPPED combine: two streaming passes over epochs.
 
     For stacks too deep to hold in HBM (the reference's analogue is SWarp's
@@ -137,7 +143,8 @@ def clipped_coadd_scan(imgs, weights, scales=None, nsigma=CLIP_NSIGMA,
         x, wt = xw
         ok = wt > 0
         sig = jnp.where(ok, 1.0 / jnp.sqrt(jnp.maximum(wt, 1e-30)), jnp.inf)
-        keep = ok & (jnp.abs(x - med) <= nsigma * sig)
+        keep = ok & (jnp.abs(x - med) <= nsigma * sig
+                     + amp_frac * jnp.abs(med))
         return (s + jnp.where(keep, x * wt, 0.0),
                 w + jnp.where(keep, wt, 0.0),
                 nc + (ok & ~keep).astype(jnp.int32),

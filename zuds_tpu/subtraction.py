@@ -1,0 +1,286 @@
+"""Subtraction pipeline step (reference: zuds/subtraction.py).
+
+``Subtraction.from_images`` keeps the reference's transaction shape
+(align ref -> combine masks -> PSF-match & subtract -> flag nodata ->
+inherit headers -> persist) with the hotpants subprocess
+(``zuds/subtraction.py:57-226``) replaced by the device A&L kernel fit
+(``ops/subtract.py``) — and adds the ZOGY path (``method='zogy'``) the
+rebuild spec requires.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .constants import (BKG_VAL, BIG_RMS, HOTPANTS_SATLEV,
+                        KERNEL_RADIUS_SEEING, MASK_BIT_NODATA_SUB,
+                        SUB_NODATA_SENTINEL, BAD_SUM)
+from .image import CalibratedImage, CalibratableImage, FITSImage
+from .mask import MaskImage
+
+__all__ = ['sub_name', 'Subtraction', 'SingleEpochSubtraction',
+           'MultiEpochSubtraction', 'overlapping_subtractions']
+
+
+def sub_name(frame, template):
+    """sub.<frame>_<template>.fits naming (reference:
+    zuds/subtraction.py:25-37)."""
+    refp = os.path.basename(f'{template}')[:-5]
+    newp = os.path.basename(f'{frame}')[:-5]
+    outdir = os.path.dirname(f'{frame}')
+    return os.path.join(outdir, f'sub.{newp}_{refp}.fits')
+
+
+def _select_stamps(sci, smax=128):
+    """Star stamp centers for the kernel fit, from the science catalog."""
+    from .seeing import select_stars
+    cat = sci.catalog
+    stars = select_stars(cat, min_snr=10.0)
+    data = stars if len(stars) else (cat.data if hasattr(cat, 'data')
+                                     else cat)
+    sat = HOTPANTS_SATLEV
+    ok = data['FLUX_MAX'] < sat
+    data = data[ok]
+    order = np.argsort(data['FLUX_APER'])[::-1]
+    data = data[order[:smax]]
+    xs = np.zeros(smax, dtype='f4')
+    ys = np.zeros(smax, dtype='f4')
+    valid = np.zeros(smax, dtype=bool)
+    nsel = len(data)
+    xs[:nsel] = data['X_IMAGE'] - 1.0
+    ys[:nsel] = data['Y_IMAGE'] - 1.0
+    valid[:nsel] = True
+    return xs, ys, valid
+
+
+class Subtraction:
+    """Mixin: shared subtraction construction logic."""
+
+    reference_image = None
+    target_image = None
+
+    @property
+    def mjd(self):
+        return self.target_image.mjd
+
+    @classmethod
+    def from_images(cls, sci, ref, data_product=False, tmpdir='/tmp',
+                    method='hotpants', nreg_side=3, spatial_order=None,
+                    smax=128, **kwargs):
+        """Subtract ``ref`` from ``sci`` (reference:
+        zuds/subtraction.py:57-226).
+
+        method='hotpants': A&L spatially-varying PSF-matching kernel
+        (3x3 regions, order-4 spatial variation by default).
+        method='zogy': proper subtraction in Fourier space; also returns
+        the S_corr score image as the ``scorr_image`` attribute.
+        """
+        import jax.numpy as jnp
+        from .constants import KERNEL_SPATIAL_ORDER
+        from .seeing import estimate_seeing
+        from .ops.subtract import KernelBasis, fit_kernel, subtract_frames
+
+        if spatial_order is None:
+            spatial_order = KERNEL_SPATIAL_ORDER
+
+        # --- geometry: bring the reference onto the science grid ------------
+        remapped_ref = ref.aligned_to(sci)
+        remapped_refmask = ref.mask_image.aligned_to(sci) \
+            if ref.mask_image is not None else None
+
+        # --- mask union (reference: zuds/subtraction.py:126-142) ------------
+        H, W = sci.shape
+        submask_data = np.zeros((H, W), dtype=np.uint32)
+        if sci.mask_image is not None:
+            submask_data |= np.asarray(sci.mask_image.data).astype(np.uint32)
+        if remapped_refmask is not None:
+            submask_data |= np.asarray(remapped_refmask.data) \
+                .astype(np.uint32)
+        bad = (submask_data & BAD_SUM) > 0
+
+        # --- science background handling (hotpants.py:27-31) -----------------
+        if 'SEEING' not in sci.header:
+            estimate_seeing(sci)
+        seeing = float(sci.header['SEEING'])
+        scimbkg = np.ascontiguousarray(
+            sci.background_subtracted_image.data).astype(np.float32) + BKG_VAL
+        refdata = np.ascontiguousarray(
+            remapped_ref.data).astype(np.float32)
+
+        sci_rms = np.ascontiguousarray(sci.rms_image.data).astype(np.float32)
+        ref_rms_obj = getattr(ref, 'rms_image', None)
+        if ref_rms_obj is not None:
+            ref_rms_aligned = ref_rms_obj.aligned_to(sci)
+            ref_rms = np.ascontiguousarray(ref_rms_aligned.data) \
+                .astype(np.float32)
+        else:
+            ref_rms = np.zeros_like(sci_rms)
+
+        outfile_name = sub_name(
+            sci.local_path if sci.ismapped else sci.basename,
+            ref.local_path if ref.ismapped else ref.basename)
+
+        if method == 'zogy':
+            from .ops.zogy import zogy_subtract, estimate_psf_from_stars
+            xs, ys, valid = _select_stamps(sci, smax=64)
+            psf_new = estimate_psf_from_stars(
+                jnp.asarray(scimbkg - BKG_VAL), jnp.asarray(xs),
+                jnp.asarray(ys), jnp.asarray(valid))
+            rxs, rys, rvalid = _select_stamps(ref, smax=64) \
+                if hasattr(ref, 'catalog') else (xs, ys, valid)
+            psf_ref = estimate_psf_from_stars(
+                jnp.asarray(refdata), jnp.asarray(xs),
+                jnp.asarray(ys), jnp.asarray(valid))
+            sn = float(np.median(sci_rms[~bad])) if (~bad).any() else 1.0
+            sr = float(np.median(ref_rms[~bad])) if (~bad).any() else 1.0
+            zout = zogy_subtract(jnp.asarray(scimbkg - BKG_VAL),
+                                 jnp.asarray(refdata),
+                                 psf_new, psf_ref, sn, max(sr, 1e-3))
+            diff = np.array(zout['d'])
+            diff[bad] = SUB_NODATA_SENTINEL
+            rms_out = np.sqrt(sci_rms ** 2 + ref_rms ** 2)
+            rms_out[bad] = BIG_RMS
+            scorr = np.array(zout['s_corr'])
+        else:
+            # --- A&L kernel fit over star stamps -----------------------------
+            xs, ys, valid = _select_stamps(sci, smax=smax)
+            ksize = int(2 * round(KERNEL_RADIUS_SEEING * seeing / 2) + 1)
+            ksize = max(9, min(ksize, 31))
+            stamp = int(2 * round(6 * seeing / 2) + 1 + ksize)
+            stamp = max(stamp, ksize + 10)
+            stamp = stamp + (1 - stamp % 2)
+            basis = KernelBasis(ksize, seeing_sigma=seeing / 2.355)
+            ivar = 1.0 / np.maximum(sci_rms ** 2 + ref_rms ** 2, 1e-6)
+            ivar[bad] = 0.0
+            fit = fit_kernel(jnp.asarray(refdata), jnp.asarray(scimbkg),
+                             jnp.asarray(ivar), jnp.asarray(xs),
+                             jnp.asarray(ys), jnp.asarray(valid),
+                             basis.gx, basis.gy, basis.sums,
+                             jnp.asarray(basis.b0_2d), stamp=stamp,
+                             order=spatial_order, nreg=nreg_side)
+            diff_j, rms_j = subtract_frames(
+                jnp.asarray(scimbkg), jnp.asarray(refdata),
+                jnp.asarray(sci_rms), jnp.asarray(ref_rms),
+                jnp.asarray(bad), fit, basis, order=spatial_order,
+                nreg=nreg_side)
+            diff = np.array(diff_j)
+            rms_out = np.array(rms_j)
+            scorr = None
+
+        # --- nodata bit 17 (reference: zuds/subtraction.py:167-177) ----------
+        submask_data[diff == SUB_NODATA_SENTINEL] |= np.uint32(
+            1 << MASK_BIT_NODATA_SUB)
+
+        sub = cls()
+        header = sci.header.copy()
+        # inherit photometric calibration from the science frame
+        # (reference: zuds/subtraction.py:208-215)
+        for kw in ('SEEING', 'MAGZP', 'APCOR1', 'APCOR2', 'APCOR3', 'APCOR4',
+                   'APCOR5', 'APCOR6', 'APCORUN1', 'APCORUN2', 'APCORUN3',
+                   'APCORUN4', 'APCORUN5', 'APCORUN6'):
+            if kw in sci.header:
+                header.set(kw, sci.header[kw])
+        header.set('SUBMETH', method, 'subtraction engine')
+        sub.header = header
+        sub.data = diff.astype('f4')
+        sub.basename = os.path.basename(outfile_name)
+        sub.reference_image = ref
+        sub.target_image = sci
+        for prop in ('field', 'ccdid', 'qid', 'fid'):
+            setattr(sub, prop, getattr(sci, prop, None))
+        sub._wcs = sci.wcs
+        if hasattr(sci, 'ra'):
+            for attr in ('ra', 'dec', 'ra1', 'dec1', 'ra2', 'dec2', 'ra3',
+                         'dec3', 'ra4', 'dec4'):
+                if hasattr(sci, attr):
+                    setattr(sub, attr, getattr(sci, attr))
+
+        mask = MaskImage.from_parent(sub, data=submask_data.astype(np.int32))
+        mask.basename = sub.basename.replace('.fits', '.mask.fits')
+        mask.refresh_bit_mask_entries_in_header()
+        sub.mask_image = mask
+
+        if sci.ismapped:
+            sub.map_to_local_file(outfile_name)
+            mask.map_to_local_file(os.path.join(
+                os.path.dirname(outfile_name), mask.basename))
+            sub.save()
+            mask.save()
+        sub._set_product('_rmsimg', rms_out)
+        if scorr is not None:
+            s = FITSImage()
+            s.data = scorr.astype('f4')
+            s.header = header.copy()
+            s.basename = sub.basename.replace('.fits', '.scorr.fits')
+            sub.scorr_image = s
+
+        if data_product:
+            from .archive import archive
+            archive(sub)
+
+        return sub
+
+
+class SingleEpochSubtraction(Subtraction, CalibratedImage):
+    """sci - ref for one epoch (reference: zuds/subtraction.py:229-240)."""
+
+    __ztf_type__ = 'sesub'
+
+
+def overlapping_subtractions(sci, ref):
+    """Single-epoch subtractions whose targets feed coadd ``sci``
+    (reference: zuds/subtraction.py:243-258). DB-backed."""
+    from .core import DBSession, ZTFFile
+    from .joins import CoaddImage
+
+    sess = DBSession()
+    if sess.conn is None:
+        raise RuntimeError('overlapping_subtractions needs a bound database')
+    rows = sess.execute(
+        'SELECT z.id FROM ztffiles z '
+        'JOIN ztffiles t ON z.target_id = t.id '
+        'JOIN coadd_images c ON c.calibratableimage_id = t.id '
+        'WHERE c.coadd_id = ? AND z.reference_id = ? AND z.type = ?',
+        (sci.id, ref.id, 'sesub')).fetchall()
+    return [sess.get(ZTFFile, r[0]) for r in rows]
+
+
+class MultiEpochSubtraction(Subtraction, CalibratableImage):
+    """Coadd of overlapping single-epoch subtractions
+    (reference: zuds/subtraction.py:283-319)."""
+
+    __ztf_type__ = 'mesub'
+
+    input_images = None
+
+    @classmethod
+    def from_images(cls, sci, ref, data_product=False, tmpdir='/tmp',
+                    force_map_subs=True, input_subtractions=None, **kwargs):
+        from .coadd import ScienceCoadd, _coadd_from_images
+
+        if not isinstance(sci, ScienceCoadd):
+            raise TypeError(f'Input science image "{sci.basename}" must be '
+                            f'an instance of ScienceCoadd, got {type(sci)}.')
+
+        if input_subtractions is not None:
+            images = list(input_subtractions)
+        else:
+            images = overlapping_subtractions(sci, ref)
+
+        if len(images) != len(sci.input_images):
+            raise ValueError(
+                'Number of single-epoch subtractions != number of stack '
+                f'inputs ({len(images)} vs {len(sci.input_images)})')
+
+        outfile_name = sub_name(
+            sci.local_path if sci.ismapped else sci.basename,
+            ref.local_path if ref.ismapped else ref.basename)
+
+        coadd = _coadd_from_images(cls, images, outfile_name,
+                                   addbkg=False, calculate_seeing=False)
+        coadd.reference_image = ref
+        coadd.target_image = sci
+        coadd.header.set('SEEING', sci.header['SEEING'])
+        coadd.save()
+        return coadd
