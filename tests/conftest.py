@@ -29,8 +29,10 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope='session')
+@pytest.fixture()
 def rng():
+    # function-scoped: every test gets the same fresh stream regardless of
+    # execution order (a shared session rng made tests order-dependent)
     return np.random.default_rng(8675309)
 
 

@@ -1,0 +1,123 @@
+"""Sharded batched-pipeline tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zuds_tpu.parallel import (PipelineConfig, quadrant_mesh, shard_batch,
+                               make_subtract_detect_pipeline,
+                               make_coadd_pipeline)
+from zuds_tpu.ops.subtract import KernelBasis
+
+
+CFG = PipelineConfig(height=256, width=256, ksize=11, stamp=31, smax=16,
+                     order=1, nreg=1, max_det=128)
+
+
+def synth_batch(rng, B):
+    H = W = 256
+    yy, xx = np.mgrid[0:H, 0:W]
+    scis, refs = [], []
+    sxs, sys_, svs = [], [], []
+    tx, ty = 130, 140
+    for b in range(B):
+        xs = rng.uniform(20, W - 20, 24)
+        ys = rng.uniform(20, H - 20, 24)
+        fl = rng.uniform(8000, 40000, 24)
+        ref = np.zeros((H, W))
+        sci = np.zeros((H, W))
+        for x, y, f in zip(xs, ys, fl):
+            ref += f * np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / (2 * 1.5 ** 2)) / (2 * np.pi * 1.5 ** 2)
+            sci += f * np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / (2 * 2.2 ** 2)) / (2 * np.pi * 2.2 ** 2)
+        # transient in sci only
+        sci += 20000 * np.exp(-((xx - tx) ** 2 + (yy - ty) ** 2) / (2 * 2.2 ** 2)) / (2 * np.pi * 2.2 ** 2)
+        scis.append(sci + 150.0 + rng.normal(0, 3.0, (H, W)))
+        refs.append(ref + rng.normal(0, 3.0, (H, W)))
+        order = np.argsort(fl)[::-1][:16]
+        sx = np.zeros(16, 'f4')
+        sy = np.zeros(16, 'f4')
+        sx[:len(order)] = xs[order]
+        sy[:len(order)] = ys[order]
+        sxs.append(sx)
+        sys_.append(sy)
+        svs.append(np.ones(16, bool))
+    step = CFG.map_step
+    ny = (256 - 1) // step + 2
+    nx = ny
+    gu = np.broadcast_to((np.arange(nx) * step).astype('f4')[None, :],
+                         (ny, nx))
+    gv = np.broadcast_to((np.arange(ny) * step).astype('f4')[:, None],
+                         (ny, nx))
+    basis = KernelBasis(CFG.ksize, seeing_sigma=2.2 / 2.355)
+    return {
+        'sci': np.stack(scis).astype('f4'),
+        'sci_mask': np.zeros((B, H, W), 'i4'),
+        'ref': np.stack(refs).astype('f4'),
+        'ref_mask': np.zeros((B, H, W), 'i4'),
+        'grid_u': np.broadcast_to(gu, (B, ny, nx)).astype('f4').copy(),
+        'grid_v': np.broadcast_to(gv, (B, ny, nx)).astype('f4').copy(),
+        'stamp_x': np.stack(sxs), 'stamp_y': np.stack(sys_),
+        'stamp_valid': np.stack(svs),
+        'basis_gx': np.broadcast_to(np.asarray(basis.gx),
+                                    (B,) + basis.gx.shape).copy(),
+        'basis_gy': np.broadcast_to(np.asarray(basis.gy),
+                                    (B,) + basis.gy.shape).copy(),
+        'basis_sums': np.broadcast_to(np.asarray(basis.sums),
+                                      (B,) + basis.sums.shape).copy(),
+        'b0': np.broadcast_to(basis.b0_2d, (B,) + basis.b0_2d.shape).copy(),
+    }, (tx, ty)
+
+
+def test_batched_pipeline_sharded(rng):
+    assert len(jax.devices()) == 8
+    B = 8
+    inputs, (tx, ty) = synth_batch(rng, B)
+    mesh = quadrant_mesh()
+    args = [inputs[k] for k in
+            ['sci', 'sci_mask', 'ref', 'ref_mask', 'grid_u', 'grid_v',
+             'stamp_x', 'stamp_y', 'stamp_valid', 'basis_gx', 'basis_gy',
+             'basis_sums', 'b0']]
+    with mesh:
+        sharded = shard_batch(mesh, *args)
+        pipe = make_subtract_detect_pipeline(CFG)
+        out = pipe(*sharded)
+        out['diff'].block_until_ready()
+
+    diff = np.array(out['diff'])
+    assert diff.shape == (B, 256, 256)
+    # every frame: transient recovered, stars cancelled
+    for b in range(B):
+        inner = diff[b, 32:-32, 32:-32]
+        sig = 1.4826 * np.median(np.abs(inner - np.median(inner)))
+        assert sig < 8.0, b
+        xs = np.array(out['det_x'][b])
+        ys = np.array(out['det_y'][b])
+        valid = np.array(out['det_valid'][b])
+        d = np.hypot(xs[valid] - tx, ys[valid] - ty)
+        assert d.min() < 1.0, b
+    # outputs keep the batch sharding over 'data'
+    shard_devs = {s.device for s in out['diff'].addressable_shards}
+    assert len(shard_devs) == 8
+
+
+def test_coadd_pipeline(rng):
+    B = 6
+    H = W = 256
+    base = rng.normal(100.0, 4.0, (H, W)).astype('f4')
+    imgs = np.stack([base + rng.normal(0, 1.0, (H, W)) for _ in range(B)])
+    weights = np.full((B, H, W), 1 / 16.0, 'f4')
+    masks = np.zeros((B, H, W), 'i4')
+    step = CFG.map_step
+    ny = (H - 1) // step + 2
+    gu = np.broadcast_to((np.arange(ny) * step).astype('f4')[None, :],
+                         (B, ny, ny)).copy()
+    gv = np.broadcast_to((np.arange(ny) * step).astype('f4')[:, None],
+                         (B, ny, ny)).copy()
+    pipe = make_coadd_pipeline(CFG, B)
+    out = pipe(jnp.asarray(imgs.astype('f4')), jnp.asarray(weights),
+               jnp.asarray(masks), jnp.asarray(gu), jnp.asarray(gv),
+               jnp.ones(B, dtype=jnp.float32))
+    coadd = np.array(out['coadd'])
+    inner = np.s_[16:-16, 16:-16]
+    np.testing.assert_allclose(coadd[inner], base[inner], atol=2.5)
+    assert np.array(out['nexp'])[inner].min() == B

@@ -134,3 +134,22 @@ def test_fused_matches_separate(rng):
     np.testing.assert_allclose(np.array(o1), np.array(o2), atol=1e-6)
     np.testing.assert_array_equal(np.array(m1), np.array(m2))
     np.testing.assert_array_equal(np.array(c1), np.array(c2))
+
+
+def test_shift_warp_matches_gather(rng):
+    """Shift-accumulate warp == gather warp for in-window displacements."""
+    import jax.numpy as jnp
+    from zuds_tpu.ops.resample import warp_shift_image_mask
+    H, W = 96, 96
+    img = smooth_image(H, W, rng)
+    mask = (rng.random((H, W)) < 0.02).astype(np.uint32) * 8
+    u, v = make_grid(H, W, du=2.3, dv=-1.6)
+    uu, vv = upsample_mapping(jnp.array(u), jnp.array(v), (H, W), 32)
+    o1, m1, c1 = warp_image_mask(jnp.array(img), jnp.array(mask), uu, vv)
+    o2, m2, c2 = warp_shift_image_mask(jnp.array(img), jnp.array(mask),
+                                       uu, vv, window=3)
+    np.testing.assert_array_equal(np.array(c1), np.array(c2))
+    cov = np.array(c1) > 0
+    np.testing.assert_allclose(np.array(o1)[cov], np.array(o2)[cov],
+                               atol=2e-4)
+    np.testing.assert_array_equal(np.array(m1)[cov], np.array(m2)[cov])

@@ -23,7 +23,8 @@ def conv2_same(img, kernel):
         img, k, window_strides=(1, 1),
         padding=[(k.shape[2] // 2, (k.shape[2] - 1) // 2),
                  (k.shape[3] // 2, (k.shape[3] - 1) // 2)],
-        dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        precision=jax.lax.Precision.HIGHEST)
     return out[0, 0]
 
 

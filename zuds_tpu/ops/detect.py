@@ -45,17 +45,20 @@ def _minpool3(x):
 
 
 @partial(jax.jit, static_argnames=('max_rounds', 'sweeps', 'hops'))
-def label_components(det, max_rounds=64, sweeps=3, hops=10):
+def label_components(det, max_rounds=32, sweeps=8, hops=2):
     """8-connected labeling of boolean mask ``det``.
 
     Returns int32 labels: INT_MAX on background, else the flat index of the
     component's minimum pixel. Each round runs ``sweeps`` 3x3 min-pool
     propagations (spreading labels across the 2-D footprint) followed by
-    ``hops`` pointer-jumping steps ``l <- min(l, l[l])`` (each hop doubles the
-    distance traveled along monotone label chains). Rounds repeat under a
-    ``while_loop`` until the labeling reaches its fixed point — compact
-    astronomical footprints converge in 1-2 rounds; ``max_rounds`` bounds
-    adversarial snake-shaped components.
+    ``hops`` pointer-jumping steps ``l <- min(l, l[l])`` (each hop doubles
+    the distance traveled along monotone label chains). Rounds repeat under
+    a ``while_loop`` until the labeling reaches its fixed point.
+
+    TPU cost model: min-pools are cheap streaming VPU work (~0.3 ms/frame);
+    pointer hops are full-frame random gathers (~30-50 ms each) — so rounds
+    lean on sweeps and use few hops. Compact astronomical footprints
+    converge in round 1; ``max_rounds`` bounds adversarial snakes.
     """
     H, W = det.shape
     flat = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
@@ -130,12 +133,12 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     good = weight_ok & (rms > 0) & jnp.isfinite(bkgsub)
     img = jnp.where(good, bkgsub, 0.0)
 
-    # matched filter; the filtered noise level uses exact per-pixel error
-    # propagation sigma_f = sqrt(conv(rms^2, k^2))
+    # matched filter. SExtractor semantics: DETECT_THRESH is in units of
+    # the UNFILTERED background RMS, compared against the filtered image
+    # (for the default 3x3 pyramid this is ~4x the filtered noise sigma) —
+    # sextractor.conf DETECT_THRESH 1.5 + FILTER Y.
     filt = conv2_same(img, kernel)
-    var_f = conv2_same(jnp.where(good, rms * rms, 0.0), kernel * kernel)
-    sigma_f = jnp.sqrt(jnp.maximum(var_f, 1e-30))
-    thresh_map = nsigma * sigma_f
+    thresh_map = nsigma * rms
     det = good & (filt > thresh_map)
 
     labels = label_components(det)
@@ -151,50 +154,65 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     comp_cap = jnp.where(comp > max_det, max_det + 1, comp)
 
     nseg = max_det + 2
-    cid = comp_cap.ravel()
+
+    # TPU scatter discipline: segment-reduce over a fixed-capacity COMPACTED
+    # pixel list, not the full frame — detected pixels are <<1% of a frame
+    # and full-frame scatters cost ~100 ms each. Capacity overflow drops the
+    # raggedest tail (counted in ``pix_overflow``).
+    cap = min(H * W, max(1 << 14, 64 * max_det))
+    det_flat = det.ravel()
+    ndet_pix = jnp.sum(det_flat.astype(jnp.int32))
+    pidx = jnp.nonzero(det_flat, size=cap, fill_value=0)[0]
+    pok = jnp.arange(cap) < jnp.minimum(ndet_pix, cap)
+    cid = jnp.where(pok, comp_cap.ravel()[pidx], nseg - 1)
+
+    def gat(arr2d):
+        return arr2d.ravel()[pidx]
 
     def seg_sum(vals):
-        return jax.ops.segment_sum(vals.ravel(), cid, num_segments=nseg)
+        return jax.ops.segment_sum(jnp.where(pok, vals, 0.0), cid,
+                                   num_segments=nseg)
 
-    def seg_max(vals):
-        return jax.ops.segment_max(vals.ravel(), cid, num_segments=nseg)
+    def seg_max(vals, fill=-jnp.inf):
+        return jax.ops.segment_max(jnp.where(pok, vals, fill), cid,
+                                   num_segments=nseg)
 
-    def seg_min(vals):
-        return jax.ops.segment_min(vals.ravel(), cid, num_segments=nseg)
+    def seg_min(vals, fill=jnp.inf):
+        return jax.ops.segment_min(jnp.where(pok, vals, fill), cid,
+                                   num_segments=nseg)
 
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing='ij')
-    # isophotal pixel values (detection image, positive part for moments)
-    vals = jnp.where(det, img, 0.0)
+    vals = gat(img)                      # (cap,) detection-image values
     pos = jnp.maximum(vals, 0.0)
+    pxx = gat(xx)
+    pyy = gat(yy)
 
-    npix = seg_sum(det.astype(jnp.float32))
+    npix = seg_sum(jnp.ones(cap))
     flux = seg_sum(vals)
-    peak = seg_max(jnp.where(det, vals, -jnp.inf))
+    peak = seg_max(vals)
     wsum = jnp.maximum(seg_sum(pos), 1e-20)
-    xbar = seg_sum(pos * xx) / wsum
-    ybar = seg_sum(pos * yy) / wsum
-    x2 = seg_sum(pos * xx * xx) / wsum - xbar * xbar
-    y2 = seg_sum(pos * yy * yy) / wsum - ybar * ybar
-    xy = seg_sum(pos * xx * yy) / wsum - xbar * ybar
+    xbar = seg_sum(pos * pxx) / wsum
+    ybar = seg_sum(pos * pyy) / wsum
+    x2 = seg_sum(pos * pxx * pxx) / wsum - xbar * xbar
+    y2 = seg_sum(pos * pyy * pyy) / wsum - ybar * ybar
+    xy = seg_sum(pos * pxx * pyy) / wsum - xbar * ybar
     # SExtractor's minimum-variance floor (1/12 px from pixelization)
     x2 = jnp.maximum(x2, 1.0 / 12.0)
     y2 = jnp.maximum(y2, 1.0 / 12.0)
-    xmin = seg_min(jnp.where(det, xx, jnp.inf))
-    xmax = seg_max(jnp.where(det, xx, -jnp.inf))
-    ymin = seg_min(jnp.where(det, yy, jnp.inf))
-    ymax = seg_max(jnp.where(det, yy, -jnp.inf))
-    imaflags = seg_max(jnp.where(det, mask, 0).astype(jnp.int32))
-    wflag = seg_max(jnp.where(det & ~weight_ok, 1, 0))
-    # note: OR over footprint approximated by max when bits are disjoint;
-    # exact OR per bit:
-    imaflags_or = jnp.zeros(nseg, dtype=jnp.int32)
-    m32 = jnp.where(det, mask, 0).astype(jnp.int32)
+    xmin = seg_min(pxx)
+    xmax = seg_max(pxx)
+    ymin = seg_min(pyy)
+    ymax = seg_max(pyy)
+    wflag = seg_max(jnp.where(gat(weight_ok), 0, 1), fill=0)
+    # exact bitwise OR of mask bits over each footprint
+    m32 = gat(mask).astype(jnp.int32)
+    imaflags = jnp.zeros(nseg, dtype=jnp.int32)
     for bit in range(18):
-        has = seg_max((m32 >> bit) & 1)
-        imaflags_or = imaflags_or | (has << bit)
-    imaflags = imaflags_or
-    thr_at_peak = seg_max(jnp.where(det, thresh_map, -jnp.inf))
+        has = seg_max((m32 >> bit) & 1, fill=0)
+        imaflags = imaflags | (has << bit)
+    thr_at_peak = seg_max(gat(thresh_map))
+    pix_overflow = ndet_pix - jnp.sum(pok.astype(jnp.int32))
 
     # shape parameters (SExtractor A/B/THETA from central moments)
     t1 = (x2 + y2) / 2.0
@@ -222,6 +240,7 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         'xmax': xmax[sl], 'ymin': ymin[sl], 'ymax': ymax[sl],
         'imaflags': imaflags[sl], 'flags': flags[sl],
         'thresh': thr_at_peak[sl],
+        'pix_overflow': pix_overflow,
         'valid': valid[sl],
     }
     out['n'] = jnp.sum(valid[sl].astype(jnp.int32))

@@ -39,22 +39,31 @@ def upsample_mapping(u_coarse, v_coarse, shape, step):
 
     u/v_coarse: (GH, GW) source coords at dst positions (i*step, j*step).
     Returns float32 (H, W) arrays of source x (u) and source y (v).
+
+    The grid is uniform, so the upsample is a pure broadcast + reshape block
+    expansion (each coarse cell -> a step x step block with fixed bilinear
+    weights): zero gathers. TPU gathers on the misaligned coarse grid cost
+    seconds per frame; this form costs ~1 ms.
     """
     H, W = shape
-    yy = jnp.arange(H, dtype=jnp.float32) / step
-    xx = jnp.arange(W, dtype=jnp.float32) / step
-    y0 = jnp.minimum(yy.astype(jnp.int32), u_coarse.shape[0] - 2)
-    x0 = jnp.minimum(xx.astype(jnp.int32), u_coarse.shape[1] - 2)
-    fy = (yy - y0)[:, None]
-    fx = (xx - x0)[None, :]
 
     def interp(g):
-        top = g[y0]          # (H, GW)
-        bot = g[y0 + 1]
-        g00, g01 = top[:, x0], top[:, x0 + 1]
-        g10, g11 = bot[:, x0], bot[:, x0 + 1]
-        return (g00 * (1 - fy) * (1 - fx) + g01 * (1 - fy) * fx
-                + g10 * fy * (1 - fx) + g11 * fy * fx)
+        # linear-extrapolation pad so (GH-1)*step always covers H
+        g = jnp.concatenate([g, (2 * g[-1:] - g[-2:-1])], axis=0)
+        g = jnp.concatenate([g, (2 * g[:, -1:] - g[:, -2:-1])], axis=1)
+        gh, gw = g.shape
+        a = g[:-1, :-1][:, None, :, None]     # (gh-1, 1, gw-1, 1)
+        b = g[:-1, 1:][:, None, :, None]
+        c = g[1:, :-1][:, None, :, None]
+        d = g[1:, 1:][:, None, :, None]
+        fy = (jnp.arange(step, dtype=jnp.float32) / step)[None, :, None,
+                                                          None]
+        fx = (jnp.arange(step, dtype=jnp.float32) / step)[None, None, None,
+                                                          :]
+        full = (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+                + c * fy * (1 - fx) + d * fy * fx)
+        full = full.reshape((gh - 1) * step, (gw - 1) * step)
+        return full[:H, :W]
 
     return interp(u_coarse), interp(v_coarse)
 
@@ -125,6 +134,59 @@ def warp_mask(mask, u, v):
             take = jnp.abs(w) > 5e-3
             out = out | jnp.where(take, vals, 0).astype(mask.dtype)
     return jnp.where(inb, out, 0).astype(mask.dtype)
+
+
+@partial(jax.jit, static_argnames=('window',))
+def warp_shift_image_mask(img, mask, u, v, window=4):
+    """Shift-accumulate Lanczos-3 warp for small smooth displacements.
+
+    Same math as ``warp_image_mask`` but expressed as whole-frame shifts
+    with per-pixel elementwise weights instead of gathers: TPU gathers cost
+    ~100 ms/tap at quadrant scale while shifted multiplies stream on the VPU
+    (~0.2 ms/tap). Valid when |u - x| and |v - y| <= ``window`` everywhere
+    (callers bound it from the mapping grid); the displacement range plus
+    the 6-tap support sets the (2*(window+3))^2 tap count, so keep it for
+    alignment-sized offsets and fall back to the gather warp beyond.
+
+    Wrapped roll values only ever receive zero weight: any output pixel
+    whose interpolation support crosses the frame edge is already flagged
+    no-coverage.
+    """
+    H, W = img.shape
+    yy = jnp.arange(H, dtype=u.dtype)[:, None]
+    xx = jnp.arange(W, dtype=u.dtype)[None, :]
+    du = u - xx
+    dv = v - yy
+    inb = ((u >= SUPPORT - 1) & (u <= W - SUPPORT)
+           & (v >= SUPPORT - 1) & (v <= H - SUPPORT))
+
+    lo = -(window + SUPPORT)
+    hi = window + SUPPORT
+    # scan over tap rows keeps liveness bounded (the fully-unrolled double
+    # loop held O(taps) rolled frames alive and OOM'd at batch>1)
+    dys = jnp.arange(lo, hi + 1)
+
+    def row_taps(carry, dy):
+        acc, wacc, macc = carry
+        wy = lanczos3(dv - dy)
+        simg_row = jnp.roll(img, -dy, axis=0)
+        smask_row = jnp.roll(mask, -dy, axis=0)
+        for dx in range(lo, hi + 1):
+            w = lanczos3(du - dx) * wy
+            acc = acc + jnp.roll(simg_row, -dx, axis=1) * w
+            wacc = wacc + w
+            take = jnp.abs(w) > 5e-3
+            macc = macc | jnp.where(take, jnp.roll(smask_row, -dx, axis=1),
+                                    0).astype(mask.dtype)
+        return (acc, wacc, macc), None
+
+    init = (jnp.zeros(img.shape, dtype=jnp.float32),
+            jnp.zeros(img.shape, dtype=jnp.float32),
+            jnp.zeros(img.shape, dtype=mask.dtype))
+    (acc, wacc, macc), _ = jax.lax.scan(row_taps, init, dys)
+    out = acc / jnp.where(wacc == 0, 1.0, wacc)
+    cov = inb.astype(jnp.float32)
+    return out * cov, jnp.where(inb, macc, 0).astype(mask.dtype), cov
 
 
 @jax.jit

@@ -47,6 +47,13 @@ from ..constants import (KERNEL_GAUSS_DEGREES, KERNEL_GAUSS_SIGMAS,
 __all__ = ['KernelBasis', 'fit_kernel', 'apply_kernel', 'subtract_frames']
 
 
+def _einsum_hi(*args, **kwargs):
+    """einsum at HIGHEST precision: TPU MXU default (bf16) is fatal to the
+    kernel-fit normal equations."""
+    kwargs.setdefault('precision', jax.lax.Precision.HIGHEST)
+    return jnp.einsum(*args, **kwargs)
+
+
 class KernelBasis:
     """Separable Gaussian x polynomial kernel basis (host-precomputed).
 
@@ -85,7 +92,7 @@ class KernelBasis:
 
     def dense(self):
         """(Nb, K, K) dense sum-normalized basis (for tests / FFT paths)."""
-        raw = jnp.einsum('nk,nl->nkl', self.gy, self.gx)
+        raw = _einsum_hi('nk,nl->nkl', self.gy, self.gx)
         b0 = jnp.asarray(self.b0_2d)
         out = raw.at[0].set(b0)
         corr = self.sums[:, None, None] * b0[None]
@@ -106,12 +113,15 @@ def _sep_conv_same(imgs, g_row, g_col):
     kr = g_row[None, None, :, None]
     kc = g_col[None, None, None, :]
     pad = (K // 2, (K - 1) // 2)
+    hi = jax.lax.Precision.HIGHEST
     x = jax.lax.conv_general_dilated(x, kr, (1, 1), [pad, (0, 0)],
                                      dimension_numbers=('NCHW', 'OIHW',
-                                                        'NCHW'))
+                                                        'NCHW'),
+                                     precision=hi)
     x = jax.lax.conv_general_dilated(x, kc, (1, 1), [(0, 0), pad],
                                      dimension_numbers=('NCHW', 'OIHW',
-                                                        'NCHW'))
+                                                        'NCHW'),
+                                     precision=hi)
     return x[:, 0]
 
 
@@ -157,22 +167,26 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
     x = R_s[:, None]                                            # (S,1,P,P)
     kr = basis_gy[:, None, :, None]                             # rows
     kc = basis_gx[:, None, None, :]                             # cols
+    hi = jax.lax.Precision.HIGHEST
     t = jax.lax.conv_general_dilated(x, kr, (1, 1), [(0, 0), (0, 0)],
                                      dimension_numbers=('NCHW', 'OIHW',
-                                                        'NCHW'))
+                                                        'NCHW'),
+                                     precision=hi)
     # t: (S, Nb, Pi', P); second pass must convolve each channel with its
     # own column kernel -> feature_group_count=Nb
     t2 = jax.lax.conv_general_dilated(t, kc, (1, 1), [(0, 0), (0, 0)],
                                       dimension_numbers=('NCHW', 'OIHW',
                                                          'NCHW'),
-                                      feature_group_count=Nb)
+                                      feature_group_count=Nb,
+                                      precision=hi)
     C = t2                                                      # (S,Nb,Pi,Pi)
     # sum-normalization: replace C_0 by conv(R, b0_2d); subtract
     # sums_n * C_0 from the rest
     b0k = jnp.asarray(b0_2d)[None, None]
     C0 = jax.lax.conv_general_dilated(x, b0k, (1, 1), [(0, 0), (0, 0)],
                                       dimension_numbers=('NCHW', 'OIHW',
-                                                         'NCHW'))[:, 0]
+                                                         'NCHW'),
+                                      precision=hi)[:, 0]
     C = C - basis_sums[None, :, None, None] * C0[:, None]
     C = C.at[:, 0].set(C0)
 
@@ -206,16 +220,16 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
         sw = wf * (stamp_ok & svalid)[:, None].astype(jnp.float32)
         # F_s[(p),(n,m)] = C[s,n,p] * T[s,m]; plus bg column of ones
         # G_s = F^T diag(w) F ; assembled with einsums (MXU)
-        CtC = jnp.einsum('snp,sp,smp->snm', Cf, sw, Cf)          # (S,Nb,Nb)
-        TT = jnp.einsum('sm,sl->sml', T, T)                      # (S,Nm,Nm)
-        G_bb = jnp.einsum('snm,skl,sr->rnkml', CtC, TT, rhot)
+        CtC = _einsum_hi('snp,sp,smp->snm', Cf, sw, Cf)          # (S,Nb,Nb)
+        TT = _einsum_hi('sm,sl->sml', T, T)                      # (S,Nm,Nm)
+        G_bb = _einsum_hi('snm,skl,sr->rnkml', CtC, TT, rhot)
         G_bb = G_bb.reshape(R2, Nb * Nm, Nb * Nm)
-        Cw = jnp.einsum('snp,sp->sn', Cf, sw)                    # (S,Nb)
-        G_bg = jnp.einsum('sn,sm,sr->rnm', Cw, T, rhot).reshape(R2, Nb * Nm)
-        wsum = jnp.einsum('sp,sr->r', sw, rhot)
-        Cy = jnp.einsum('snp,sp->sn', Cf, sw * yf)
-        h_b = jnp.einsum('sn,sm,sr->rnm', Cy, T, rhot).reshape(R2, Nb * Nm)
-        h_g = jnp.einsum('sp,sr->r', sw * yf, rhot)
+        Cw = _einsum_hi('snp,sp->sn', Cf, sw)                    # (S,Nb)
+        G_bg = _einsum_hi('sn,sm,sr->rnm', Cw, T, rhot).reshape(R2, Nb * Nm)
+        wsum = _einsum_hi('sp,sr->r', sw, rhot)
+        Cy = _einsum_hi('snp,sp->sn', Cf, sw * yf)
+        h_b = _einsum_hi('sn,sm,sr->rnm', Cy, T, rhot).reshape(R2, Nb * Nm)
+        h_g = _einsum_hi('sp,sr->r', sw * yf, rhot)
         G = jnp.zeros((R2, D, D))
         G = G.at[:, :Nb * Nm, :Nb * Nm].set(G_bb)
         G = G.at[:, :Nb * Nm, -1].set(G_bg)
@@ -238,10 +252,10 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
     def stamp_chi2(coeffs):
         a = coeffs[:, :Nb * Nm].reshape(R2, Nb, Nm)
         bg = coeffs[:, -1]
-        a_s = jnp.einsum('sr,rnm->snm', rhot, a)
+        a_s = _einsum_hi('sr,rnm->snm', rhot, a)
         bg_s = rhot @ bg
-        wmap = jnp.einsum('snm,sm->sn', a_s, T)                  # (S,Nb)
-        model = jnp.einsum('sn,snp->sp', wmap, Cf) + bg_s[:, None]
+        wmap = _einsum_hi('snm,sm->sn', a_s, T)                  # (S,Nb)
+        model = _einsum_hi('sn,snp->sp', wmap, Cf) + bg_s[:, None]
         resid2 = (model - yf) ** 2 * wf
         npix = jnp.maximum(jnp.sum(wf > 0, axis=1), 1)
         return jnp.sum(resid2, axis=1) / npix                    # (S,)
@@ -304,25 +318,61 @@ def apply_kernel(ref, coeffs, basis_gx, basis_gy, basis_sums, b0_2d,
     pexp = jnp.asarray([p for p, q in terms], jnp.int32)
     qexp = jnp.asarray([q for p, q in terms], jnp.int32)
 
-    ref_b = ref[None]
-    # C_0 exactly: b0_2d = outer(gy0, gx0)/s0 is itself separable
+    # region one-hot fields: R2 is tiny (<=9), so blending coefficients by
+    # masked scalar broadcast keeps every intermediate at (H, W) — never
+    # materialize an (H, W, Nm) or (H, W, Nb) tensor (HBM discipline)
+    region_masks = [(rid == r).astype(ref.dtype) for r in range(R2)]
+
+    def wfield(n):
+        """Coefficient field w_n(x, y) = a[region, n, :] . T(x, y)."""
+        wmap = jnp.zeros_like(ref)
+        for m, (p, q) in enumerate(terms):
+            tmap = (xn ** p) * (yn ** q)        # (H, W), fused by XLA
+            coef = jnp.zeros_like(ref)
+            for r in range(R2):
+                coef = coef + region_masks[r] * a[r, n, m]
+            wmap = wmap + coef * tmap
+        return wmap
+
+    # Fold the basis sum-normalization into the weight fields so the convs
+    # run on the RAW separable basis:
+    #   model = sum_n w_n C_norm_n,   C_norm_0 = C_raw_0 / s0,
+    #   C_norm_n = C_raw_n - (sums_n / s0) C_raw_0   (n >= 1)
+    # => channel-0 weight becomes (w_0 - sum_{n>=1} w_n sums_n) / s0.
     s0 = jnp.sum(basis_gy[0]) * jnp.sum(basis_gx[0])
-    C0 = _sep_conv_same(ref_b, basis_gy[0], basis_gx[0])[0] / s0
+    wsum_corr = jnp.zeros_like(ref)
+    for n in range(1, Nb):
+        wsum_corr = wsum_corr + wfield(n) * basis_sums[n]
 
-    def body(n, acc):
-        Cn = _sep_conv_same(ref_b, basis_gy[n], basis_gx[n])[0]
-        Cn = Cn - basis_sums[n] * C0
-        Cn = jnp.where(n == 0, C0, Cn)
-        # coefficient field w_n(x,y) = a[region(x,y), n, :] . T(x,y)
-        a_n = a[:, n, :]                                         # (R2, Nm)
-        a_field = a_n[rid]                                       # (H, W, Nm)
-        tfield = (xn[..., None] ** pexp) * (yn[..., None] ** qexp)
-        wmap = jnp.sum(a_field * tfield, axis=-1)
-        return acc + wmap * Cn
+    # TPU conv discipline: all basis convolutions run as chunked GROUPED
+    # convs (two conv calls per chunk, many channels each) — a python loop
+    # of single-channel 1-D convs costs ~145x more (measured on v5e).
+    hi = jax.lax.Precision.HIGHEST
+    pad = (K // 2, (K - 1) // 2)
+    CHUNK = 8
+    model = jnp.zeros_like(ref)
+    x = ref[None, None]                                      # (1,1,H,W)
+    for c0 in range(0, Nb, CHUNK):
+        c1 = min(c0 + CHUNK, Nb)
+        nch = c1 - c0
+        kr = basis_gy[c0:c1, None, :, None]                  # (nch,1,K,1)
+        kc = basis_gx[c0:c1, None, None, :]
+        t = jax.lax.conv_general_dilated(
+            x, kr, (1, 1), [pad, (0, 0)],
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'), precision=hi)
+        t = jax.lax.conv_general_dilated(
+            t, kc, (1, 1), [(0, 0), pad],
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+            feature_group_count=nch, precision=hi)           # (1,nch,H,W)
+        for j in range(nch):
+            n = c0 + j
+            w_n = (wfield(0) - wsum_corr) / s0 if n == 0 else wfield(n)
+            model = model + w_n * t[0, j]
 
-    model = jax.lax.fori_loop(0, Nb, body, jnp.zeros_like(ref))
-    model = model + bg[rid]
-    return model
+    bgmap = jnp.zeros_like(ref)
+    for r in range(R2):
+        bgmap = bgmap + region_masks[r] * bg[r]
+    return model + bgmap
 
 
 def subtract_frames(sci, ref_aligned, sci_rms, ref_rms, badmask, fit,
@@ -368,7 +418,7 @@ def _propagate_ref_var(ref_rms, fit, basis, order, nreg, shape):
         # region center == origin of the region-local coordinate system
         tvals = jnp.asarray([1.0 if (p == 0 and q == 0) else 0.0
                              for p, q in terms])
-        kr = jnp.einsum('nm,m,nkl->kl', a[r], tvals, dense)
+        kr = _einsum_hi('nm,m,nkl->kl', a[r], tvals, dense)
         k2 = (kr * kr)[None, None]
         c = jax.lax.conv_general_dilated(
             var[None, None], k2, (1, 1),

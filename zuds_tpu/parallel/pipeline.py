@@ -1,0 +1,193 @@
+"""Fused batched pipeline: whole nights through one XLA program.
+
+This is the performance path of the framework (SURVEY §7 step 7; the
+reference runs one subprocess per image per stage — here a *batch of
+quadrants* flows through align -> background -> PSF-match -> subtract ->
+detect -> photometer as a single jitted program, vmapped over the batch and
+sharded over the chip mesh's ``data`` axis).
+
+Host responsibilities per frame (cheap, overlapped with device compute):
+FITS I/O, WCS coarse mapping grids, star-stamp selection from the epoch
+catalog, kernel-basis tables from the frame seeing. Everything pixel-sized
+happens on device.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import (BAD_SUM, BKG_VAL, BKG_BOX_SIZE, DETECT_NSIGMA,
+                         MASK_BIT_NODATA_ALIGN, MASK_BIT_NODATA_SUB,
+                         SUB_NODATA_SENTINEL, BIG_RMS)
+from ..ops.resample import (upsample_mapping, warp_image_mask,
+                            warp_shift_image_mask)
+from ..ops.background import background_mesh
+from ..ops.detect import detect_sources
+from ..ops.photometry import aperture_photometry_batched
+from ..ops.subtract import fit_kernel, apply_kernel
+
+__all__ = ['PipelineConfig', 'make_subtract_detect_pipeline',
+           'make_coadd_pipeline', 'prepare_frame_inputs']
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Static (compile-time) pipeline shape parameters."""
+
+    height: int = 3080
+    width: int = 3072
+    map_step: int = 32
+    ksize: int = 15
+    stamp: int = 41
+    smax: int = 64
+    order: int = 2
+    nreg: int = 1
+    max_det: int = 1024
+    nsigma: float = DETECT_NSIGMA
+    box: int = BKG_BOX_SIZE
+    # max |src - dst| displacement (px) handled by the shift-accumulate
+    # warp; callers bound it from the mapping grid (MappingGrid.max_offset)
+    max_shift: int = 4
+
+
+def make_subtract_detect_pipeline(cfg: PipelineConfig):
+    """Build the jitted batched subtract+detect+photometer program.
+
+    Input arrays all carry a leading batch dim B:
+      sci (B,H,W) f32, sci_mask (B,H,W) i32, ref (B,H,W) f32,
+      ref_mask (B,H,W) i32, grid_u/grid_v (B,GH,GW) f32 (ref->sci coarse
+      mapping), stamp_x/stamp_y (B,S) f32, stamp_valid (B,S) bool,
+      basis_gx/basis_gy (B,Nb,K), basis_sums (B,Nb), b0 (B,K,K).
+
+    Returns dict of batched outputs: diff, rms, submask, detections
+    (fixed max_det rows per frame), aperture photometry at detections.
+    """
+    H, W = cfg.height, cfg.width
+
+    def one_frame(sci, sci_mask, ref, ref_mask, gu, gv, sx, sy, sv,
+                  bgx, bgy, bsums, b0):
+        u, v = upsample_mapping(gu, gv, (H, W), cfg.map_step)
+        refw, refm, cov = warp_shift_image_mask(
+            ref, ref_mask.astype(jnp.uint32), u, v, window=cfg.max_shift)
+        submask = sci_mask.astype(jnp.uint32) | refm
+        submask = submask | jnp.where(cov == 0,
+                                      jnp.uint32(1 << MASK_BIT_NODATA_ALIGN),
+                                      jnp.uint32(0))
+        bad = (submask & jnp.uint32(BAD_SUM)) > 0
+
+        bres = background_mesh(sci, ~bad, box=cfg.box)
+        scimbkg = (sci - bres['back']) + BKG_VAL
+        rms = bres['rms']
+
+        # reference noise: approximate the warped-ref rms by its own
+        # background estimate (refs are deep coadds; noise ~ uniform)
+        rres = background_mesh(refw, cov > 0, box=cfg.box)
+        ref_rms = rres['rms']
+
+        ivar = 1.0 / jnp.maximum(rms ** 2 + ref_rms ** 2, 1e-6)
+        ivar = jnp.where(bad, 0.0, ivar)
+
+        fit = fit_kernel(refw, scimbkg, ivar, sx, sy, sv, bgx, bgy, bsums,
+                         b0, stamp=cfg.stamp, order=cfg.order, nreg=cfg.nreg)
+        model = apply_kernel(refw, fit['coeffs'], bgx, bgy, bsums, b0,
+                             order=cfg.order, nreg=cfg.nreg)
+        diff = scimbkg - model
+        # diff noise: sum in quadrature (kernel-squared propagation happens
+        # in the unbatched path; the batched path favors the cheap bound)
+        rms_out = jnp.sqrt(rms ** 2 + ref_rms ** 2)
+        rms_out = jnp.where(bad, BIG_RMS, rms_out)
+        diff = jnp.where(bad, SUB_NODATA_SENTINEL, diff)
+        submask = submask | jnp.where(
+            diff == SUB_NODATA_SENTINEL,
+            jnp.uint32(1 << MASK_BIT_NODATA_SUB), jnp.uint32(0))
+
+        det = detect_sources(diff, rms_out, submask, ~bad,
+                             nsigma=cfg.nsigma, max_det=cfg.max_det)
+        phot = aperture_photometry_batched(diff, rms_out, submask,
+                                           det['x'], det['y'])
+        return {
+            'diff': diff, 'rms': rms_out,
+            'submask': submask.astype(jnp.int32),
+            'det_x': det['x'], 'det_y': det['y'], 'det_flux': det['flux'],
+            'det_a': det['a'], 'det_b': det['b'],
+            'det_elong': det['elongation'], 'det_fwhm': det['fwhm'],
+            'det_flags': det['flags'], 'det_imaflags': det['imaflags'],
+            'det_valid': det['valid'], 'det_n': det['n'],
+            'ap_flux': phot['flux'], 'ap_fluxerr': phot['fluxerr'],
+            'ap_flags': phot['flags'],
+            'kernel_coeffs': fit['coeffs'],
+        }
+
+    batched = jax.vmap(one_frame)
+    return jax.jit(batched)
+
+
+def make_coadd_pipeline(cfg: PipelineConfig, nepochs: int):
+    """Jitted epoch-stack coadd: warp all epochs + CLIPPED combine.
+
+    Inputs: imgs/weights (N,Hs,Ws), masks (N,Hs,Ws) i32, grid_u/v (N,GH,GW)
+    mapping each epoch onto the (H,W) output grid, scales (N,).
+    """
+    from ..ops.coadd import clipped_coadd, combine_masks
+    from ..ops.resample import warp_image, warp_mask
+    H, W = cfg.height, cfg.width
+
+    def warp_epoch(img, wgt, mask, gu, gv):
+        u, v = upsample_mapping(gu, gv, (H, W), cfg.map_step)
+        iw, cov = warp_image(img, u, v)
+        ww, _ = warp_image(wgt, u, v)
+        mw = warp_mask(mask.astype(jnp.uint32), u, v)
+        return iw, jnp.maximum(ww, 0.0) * cov, mw, cov
+
+    def run(imgs, weights, masks, gus, gvs, scales):
+        iw, ww, mw, cov = jax.vmap(warp_epoch)(imgs, weights, masks,
+                                               gus, gvs)
+        out = clipped_coadd(iw, ww, scales)
+        mask = combine_masks(mw, cov, mode='and')
+        mask = jnp.where(out['weight'] == 0,
+                         mask | jnp.uint32(1 << MASK_BIT_NODATA_ALIGN),
+                         mask)
+        return {'coadd': out['coadd'], 'weight': out['weight'],
+                'mask': mask.astype(jnp.int32), 'nexp': out['nexp']}
+
+    return jax.jit(run)
+
+
+def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None):
+    """Host-side per-pair input prep for the batched pipeline.
+
+    Computes the ref->sci coarse mapping grid, star stamps from the science
+    catalog, and the seeing-scaled kernel basis tables. Returns a dict of
+    numpy arrays (no batch dim).
+    """
+    from ..wcs import pixel_mapping
+    from ..subtraction import _select_stamps
+    from ..ops.subtract import KernelBasis
+    from ..seeing import estimate_seeing
+
+    smax = smax or cfg.smax
+    grid = pixel_mapping(ref.wcs, sci.wcs, (cfg.height, cfg.width),
+                         step=cfg.map_step)
+    xs, ys, valid = _select_stamps(sci, smax=smax)
+    if 'SEEING' not in sci.header:
+        estimate_seeing(sci)
+    basis = KernelBasis(cfg.ksize,
+                        seeing_sigma=float(sci.header['SEEING']) / 2.355)
+    return {
+        'sci': np.ascontiguousarray(sci.data).astype('f4'),
+        'sci_mask': (np.ascontiguousarray(sci.mask_image.data).astype('i4')
+                     if sci.mask_image is not None
+                     else np.zeros((cfg.height, cfg.width), 'i4')),
+        'ref': np.ascontiguousarray(ref.data).astype('f4'),
+        'ref_mask': (np.ascontiguousarray(ref.mask_image.data).astype('i4')
+                     if ref.mask_image is not None
+                     else np.zeros(ref.data.shape, 'i4')),
+        'grid_u': grid.u, 'grid_v': grid.v,
+        'stamp_x': xs, 'stamp_y': ys, 'stamp_valid': valid,
+        'basis_gx': np.asarray(basis.gx), 'basis_gy': np.asarray(basis.gy),
+        'basis_sums': np.asarray(basis.sums), 'b0': basis.b0_2d,
+    }
