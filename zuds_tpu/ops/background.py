@@ -45,7 +45,7 @@ def masked_median(x, valid, axis=-1):
     return jnp.squeeze(med, axis=axis)
 
 
-def bisect_median(x, valid, iters=16):
+def bisect_median(x, valid, iters=12):
     """Approximate masked median over the last axis by value-space bisection.
 
     Pure reductions (no sort): ``iters`` halvings of [min, max] give the
@@ -105,7 +105,7 @@ def interpolate_mesh(mesh, shape, box=128):
 
 
 @partial(jax.jit, static_argnames=('box', 'filter_size', 'iters'))
-def background_mesh(img, valid=None, box=128, filter_size=3, iters=6):
+def background_mesh(img, valid=None, box=128, filter_size=3, iters=3):
     """Estimate the background and noise maps of one frame.
 
     Parameters

@@ -24,7 +24,7 @@ def conv2_same(img, kernel):
         padding=[(k.shape[2] // 2, (k.shape[2] - 1) // 2),
                  (k.shape[3] // 2, (k.shape[3] - 1) // 2)],
         dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
-        precision=jax.lax.Precision.HIGHEST)
+        precision=jax.lax.Precision.HIGH)
     return out[0, 0]
 
 

@@ -45,7 +45,7 @@ def _minpool3(x):
 
 
 @partial(jax.jit, static_argnames=('max_rounds', 'sweeps', 'hops'))
-def label_components(det, max_rounds=32, sweeps=8, hops=2):
+def label_components(det, max_rounds=32, sweeps=8, hops=1):
     """8-connected labeling of boolean mask ``det``.
 
     Returns int32 labels: INT_MAX on background, else the flat index of the
@@ -98,10 +98,10 @@ DETECTION_FIELDS = [
 ]
 
 
-@partial(jax.jit, static_argnames=('max_det', 'minarea'))
+@partial(jax.jit, static_argnames=('max_det', 'minarea', 'return_labels'))
 def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                    nsigma=DETECT_NSIGMA, minarea=DETECT_NPIX,
-                   max_det=MAX_DETECTIONS, kernel=None):
+                   max_det=MAX_DETECTIONS, kernel=None, return_labels=True):
     """Detect sources on a background-subtracted frame.
 
     Parameters
@@ -147,24 +147,22 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     flat = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
     roots = det & (labels == flat)
     order = jnp.cumsum(roots.ravel().astype(jnp.int32))  # 1-based at roots
-    comp_of_root = order.reshape(H, W)                   # valid at roots
-    safe_labels = jnp.where(det, labels, 0)
-    comp = jnp.where(det, comp_of_root.ravel()[safe_labels], 0)
-    # components beyond capacity fold into segment max_det+1 (discard row)
-    comp_cap = jnp.where(comp > max_det, max_det + 1, comp)
 
     nseg = max_det + 2
 
-    # TPU scatter discipline: segment-reduce over a fixed-capacity COMPACTED
-    # pixel list, not the full frame — detected pixels are <<1% of a frame
-    # and full-frame scatters cost ~100 ms each. Capacity overflow drops the
-    # raggedest tail (counted in ``pix_overflow``).
+    # TPU scatter/gather discipline: segment-reduce over a fixed-capacity
+    # COMPACTED pixel list, not the full frame — detected pixels are <<1% of
+    # a frame and full-frame scatters/gathers cost ~100 ms each. Capacity
+    # overflow drops the raggedest tail (counted in ``pix_overflow``).
     cap = min(H * W, max(1 << 14, 64 * max_det))
     det_flat = det.ravel()
     ndet_pix = jnp.sum(det_flat.astype(jnp.int32))
     pidx = jnp.nonzero(det_flat, size=cap, fill_value=0)[0]
     pok = jnp.arange(cap) < jnp.minimum(ndet_pix, cap)
-    cid = jnp.where(pok, comp_cap.ravel()[pidx], nseg - 1)
+    lab_c = jnp.where(pok, labels.ravel()[pidx], 0)      # (cap,) gather
+    comp_c = order[lab_c]                                 # (cap,) gather
+    comp_c = jnp.where(comp_c > max_det, max_det + 1, comp_c)
+    cid = jnp.where(pok, comp_c, nseg - 1)
 
     def gat(arr2d):
         return arr2d.ravel()[pidx]
@@ -244,8 +242,14 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         'valid': valid[sl],
     }
     out['n'] = jnp.sum(valid[sl].astype(jnp.int32))
-    # compact segmentation map: sources failing minarea are zeroed
-    keep = jnp.concatenate([jnp.zeros(1, bool), valid[1:]])
-    seg = jnp.where(keep[comp_cap.clip(0, max_det + 1)], comp_cap, 0)
-    out['labels'] = seg.astype(jnp.int32)
+    if return_labels:
+        # compact segmentation map: sources failing minarea are zeroed.
+        # Full-frame gathers — skip in the fused pipeline (the SEGMENTATION
+        # check-image is a host-path product).
+        safe_labels = jnp.where(det, labels, 0)
+        comp = jnp.where(det, order[safe_labels.ravel()].reshape(H, W), 0)
+        comp_cap = jnp.where(comp > max_det, max_det + 1, comp)
+        keep = jnp.concatenate([jnp.zeros(1, bool), valid[1:]])
+        seg = jnp.where(keep[comp_cap.clip(0, max_det + 1)], comp_cap, 0)
+        out['labels'] = seg.astype(jnp.int32)
     return out

@@ -318,40 +318,31 @@ def apply_kernel(ref, coeffs, basis_gx, basis_gy, basis_sums, b0_2d,
     pexp = jnp.asarray([p for p, q in terms], jnp.int32)
     qexp = jnp.asarray([q for p, q in terms], jnp.int32)
 
-    # region one-hot fields: R2 is tiny (<=9), so blending coefficients by
-    # masked scalar broadcast keeps every intermediate at (H, W) — never
-    # materialize an (H, W, Nm) or (H, W, Nb) tensor (HBM discipline)
-    region_masks = [(rid == r).astype(ref.dtype) for r in range(R2)]
-
-    def wfield(n):
-        """Coefficient field w_n(x, y) = a[region, n, :] . T(x, y)."""
-        wmap = jnp.zeros_like(ref)
-        for m, (p, q) in enumerate(terms):
-            tmap = (xn ** p) * (yn ** q)        # (H, W), fused by XLA
-            coef = jnp.zeros_like(ref)
-            for r in range(R2):
-                coef = coef + region_masks[r] * a[r, n, m]
-            wmap = wmap + coef * tmap
-        return wmap
-
-    # Fold the basis sum-normalization into the weight fields so the convs
-    # run on the RAW separable basis:
-    #   model = sum_n w_n C_norm_n,   C_norm_0 = C_raw_0 / s0,
-    #   C_norm_n = C_raw_n - (sums_n / s0) C_raw_0   (n >= 1)
-    # => channel-0 weight becomes (w_0 - sum_{n>=1} w_n sums_n) / s0.
+    # Fold the basis sum-normalization into COEFFICIENT space so the convs
+    # run on the raw separable basis:
+    #   sum_nm a_nm C_norm_n = sum_nm a~_nm C_raw_n  with
+    #   a~_0m = (a_0m - sum_{n>=1} a_nm sums_n)/s0,  a~_nm = a_nm (n>=1).
     s0 = jnp.sum(basis_gy[0]) * jnp.sum(basis_gx[0])
-    wsum_corr = jnp.zeros_like(ref)
-    for n in range(1, Nb):
-        wsum_corr = wsum_corr + wfield(n) * basis_sums[n]
+    a0 = (a[:, 0, :] - _einsum_hi('rnm,n->rm', a[:, 1:, :],
+                                  basis_sums[1:])) / s0
+    a_t = jnp.concatenate([a0[:, None, :], a[:, 1:, :]], axis=1)
 
-    # TPU conv discipline: all basis convolutions run as chunked GROUPED
-    # convs (two conv calls per chunk, many channels each) — a python loop
-    # of single-channel 1-D convs costs ~145x more (measured on v5e).
+    # static region rectangles (identical assignment rule to fit_kernel's
+    # rid = floor(coord * nreg / extent))
+    import math
+    y_edges = [int(math.ceil(r * H / nreg)) for r in range(nreg)] + [H]
+    x_edges = [int(math.ceil(r * W / nreg)) for r in range(nreg)] + [W]
+
+    # TPU conv discipline: raw basis convolutions as chunked grouped
+    # separable convs (a python loop of single-channel 1-D convs costs
+    # ~145x more on v5e); combination over the basis dimension is a small
+    # matmul per static region slice — zero mask fields.
     hi = jax.lax.Precision.HIGHEST
     pad = (K // 2, (K - 1) // 2)
     CHUNK = 8
-    model = jnp.zeros_like(ref)
     x = ref[None, None]                                      # (1,1,H,W)
+    # per-region spatial-term accumulators E_r: (Nm, h_r, w_r)
+    E = [[None for _ in range(nreg)] for _ in range(nreg)]
     for c0 in range(0, Nb, CHUNK):
         c1 = min(c0 + CHUNK, Nb)
         nch = c1 - c0
@@ -363,16 +354,31 @@ def apply_kernel(ref, coeffs, basis_gx, basis_gy, basis_sums, b0_2d,
         t = jax.lax.conv_general_dilated(
             t, kc, (1, 1), [(0, 0), pad],
             dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
-            feature_group_count=nch, precision=hi)           # (1,nch,H,W)
-        for j in range(nch):
-            n = c0 + j
-            w_n = (wfield(0) - wsum_corr) / s0 if n == 0 else wfield(n)
-            model = model + w_n * t[0, j]
+            feature_group_count=nch, precision=hi)[0]        # (nch,H,W)
+        for ri in range(nreg):
+            for rj in range(nreg):
+                r = ri * nreg + rj
+                sl = (slice(None), slice(y_edges[ri], y_edges[ri + 1]),
+                      slice(x_edges[rj], x_edges[rj + 1]))
+                part = _einsum_hi('nhw,nm->mhw', t[sl], a_t[r, c0:c1, :])
+                E[ri][rj] = part if E[ri][rj] is None else E[ri][rj] + part
 
-    bgmap = jnp.zeros_like(ref)
-    for r in range(R2):
-        bgmap = bgmap + region_masks[r] * bg[r]
-    return model + bgmap
+    # assemble: model[region] = sum_m T_m(local coords) * E_r[m] + bg_r
+    rows = []
+    for ri in range(nreg):
+        row = []
+        for rj in range(nreg):
+            r = ri * nreg + rj
+            ys = yy[y_edges[ri]:y_edges[ri + 1]]
+            xs_ = xx[:, x_edges[rj]:x_edges[rj + 1]]
+            xn_l = (xs_ - (rj + 0.5) * W / nreg) / wx
+            yn_l = (ys - (ri + 0.5) * H / nreg) / wy
+            m_r = jnp.zeros_like(E[ri][rj][0]) + bg[r]
+            for m, (p, q) in enumerate(terms):
+                m_r = m_r + (xn_l ** p) * (yn_l ** q) * E[ri][rj][m]
+            row.append(m_r)
+        rows.append(jnp.concatenate(row, axis=1))
+    return jnp.concatenate(rows, axis=0)
 
 
 def subtract_frames(sci, ref_aligned, sci_rms, ref_rms, badmask, fit,

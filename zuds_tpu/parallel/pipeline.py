@@ -106,7 +106,8 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig):
             jnp.uint32(1 << MASK_BIT_NODATA_SUB), jnp.uint32(0))
 
         det = detect_sources(diff, rms_out, submask, ~bad,
-                             nsigma=cfg.nsigma, max_det=cfg.max_det)
+                             nsigma=cfg.nsigma, max_det=cfg.max_det,
+                             return_labels=False)
         phot = aperture_photometry_batched(diff, rms_out, submask,
                                            det['x'], det['y'])
         return {
