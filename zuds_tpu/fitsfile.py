@@ -73,8 +73,17 @@ class FITSFile(File):
         self._data = value
 
     def load(self):
-        hdus = read_fits(self.local_path)
-        hdu = next((h for h in hdus if h.data is not None), hdus[0])
+        hdu = None
+        # fast path: native multi-threaded reader (single-image files)
+        from .fits import native
+        if native.available():
+            try:
+                hdu = native.read_image_native(self.local_path)
+            except (IOError, KeyError):
+                hdu = None
+        if hdu is None or hdu.data is None:
+            hdus = read_fits(self.local_path)
+            hdu = next((h for h in hdus if h.data is not None), hdus[0])
         self._data = hdu.data
         if len(hdu.header) > len(self.header or ()):
             self.header = hdu.header
