@@ -62,12 +62,39 @@ _LAZY_SYMBOLS = {
     'xmatch': 'zuds_tpu.crossmatch',
     'send_alert': 'zuds_tpu.send',
     'DBSession': 'zuds_tpu.core',
+    'RefDBSession': 'zuds_tpu.core',
+    'TapeCopy': 'zuds_tpu.archive',
     'Base': 'zuds_tpu.core',
     'ZTFFile': 'zuds_tpu.core',
     'init_db': 'zuds_tpu.model_util',
     'create_tables': 'zuds_tpu.model_util',
     'drop_tables': 'zuds_tpu.model_util',
     'get_my_share_of_work': 'zuds_tpu.mpi',
+    'run_align': 'zuds_tpu.swarp',
+    'prepare_swarp_sci': 'zuds_tpu.swarp',
+    'prepare_swarp_mask': 'zuds_tpu.swarp',
+    'prepare_swarp_align': 'zuds_tpu.swarp',
+    'run_sextractor': 'zuds_tpu.sextractor',
+    'prepare_sextractor': 'zuds_tpu.sextractor',
+    'prepare_hotpants': 'zuds_tpu.hotpants',
+    'calibrate_astrometry': 'zuds_tpu.scamp',
+    'check_dependencies': 'zuds_tpu.env',
+    'join_model': 'zuds_tpu.core',
+    'SpatiallyIndexed': 'zuds_tpu.spatial',
+    'HasPoly': 'zuds_tpu.spatial',
+    'DR8North': 'zuds_tpu.external',
+    'DR8South': 'zuds_tpu.external',
+    'CLU': 'zuds_tpu.external',
+    'ZTFFileCopy': 'zuds_tpu.archive',
+    'TapeArchive': 'zuds_tpu.archive',
+    'combine_schemas': 'zuds_tpu.send',
+    'safe_download': 'zuds_tpu.download',
+    'ipac_authenticate': 'zuds_tpu.download',
+    'make_triplet_for_braai': 'zuds_tpu.filterobjects',
+    'load_model_helper': 'zuds_tpu.filterobjects',
+    'JobImage': 'zuds_tpu.joins',
+    'CoaddImage': 'zuds_tpu.joins',
+    'StackedSubtractionFrame': 'zuds_tpu.joins',
     'get_nthreads': 'zuds_tpu.mpi',
     'Job': 'zuds_tpu.bookkeeping',
     'ForcePhotJob': 'zuds_tpu.bookkeeping',
