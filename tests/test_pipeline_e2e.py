@@ -294,3 +294,35 @@ def test_db_roundtrip(tmp_path, tmp_config):
     hits = sess.query(Detection).filter(where, *params).all()
     assert len(hits) == 1
     DBSession.remove()
+
+
+def test_multi_epoch_subtraction(frame_dir, sci_ref):
+    """coadd -> 2x single-epoch subs -> multi-epoch sub, end-to-end
+    (the reference's test_multi_epoch_sub shape, test_sub.py:40-64)."""
+    from zuds_tpu.image import ScienceImage
+    from zuds_tpu.coadd import ScienceCoadd
+    from zuds_tpu.subtraction import (SingleEpochSubtraction,
+                                      MultiEpochSubtraction)
+    _, ref = sci_ref
+    epochs = [ScienceImage.from_file(str(frame_dir / f'ztf_epoch{i}_679_'
+                                         f'sciimg.fits')) for i in range(2)]
+    subs = []
+    for e in epochs:
+        subs.append(SingleEpochSubtraction.from_images(e, ref, nreg_side=1,
+                                                       spatial_order=0))
+    stack = ScienceCoadd.from_images(epochs,
+                                     str(frame_dir / 'scistack.fits'))
+    stack.binleft = '58340.0'
+    stack.binright = '58347.0'
+    mesub = MultiEpochSubtraction.from_images(stack, ref,
+                                              input_subtractions=subs)
+    assert mesub.basename.startswith('sub.')
+    assert mesub.header['SEEING'] == stack.header['SEEING']
+    d = np.asarray(mesub.data)
+    assert d.shape[0] >= H  # union grid covers the quadrant
+    inner = d[64:-64, 64:-64]
+    sig = 1.4826 * np.median(np.abs(inner - np.median(inner)))
+    # stars cancel; stacked sub noise is below single-epoch noise
+    assert sig < 2.0 * NOISE
+    assert mesub.reference_image is ref
+    assert mesub.target_image is stack

@@ -52,6 +52,10 @@ class PipelineConfig:
     # max |src - dst| displacement (px) handled by the shift-accumulate
     # warp; callers bound it from the mapping grid (MappingGrid.max_offset)
     max_shift: int = 4
+    # full background/rms mesh on the warped reference; off by default
+    # (references are deep uniform-noise coadds; a global bisect-median
+    # sigma is accurate and saves a mesh pass)
+    ref_rms_mesh: bool = False
 
 
 def make_subtract_detect_pipeline(cfg: PipelineConfig):
@@ -83,10 +87,19 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig):
         scimbkg = (sci - bres['back']) + BKG_VAL
         rms = bres['rms']
 
-        # reference noise: approximate the warped-ref rms by its own
-        # background estimate (refs are deep coadds; noise ~ uniform)
-        rres = background_mesh(refw, cov > 0, box=cfg.box)
-        ref_rms = rres['rms']
+        # reference noise
+        if cfg.ref_rms_mesh:
+            rres = background_mesh(refw, cov > 0, box=cfg.box)
+            ref_rms = rres['rms']
+        else:
+            # global robust sigma of the warped ref (uniform-noise coadd)
+            from ..ops.background import bisect_median
+            flat = refw.ravel()[None, :]
+            okf = (cov > 0).ravel()[None, :]
+            med = bisect_median(flat, okf)[0]
+            absdev = jnp.abs(refw - med).ravel()[None, :]
+            mad = bisect_median(absdev, okf)[0]
+            ref_rms = jnp.full_like(refw, 1.4826 * mad)
 
         ivar = 1.0 / jnp.maximum(rms ** 2 + ref_rms ** 2, 1e-6)
         ivar = jnp.where(bad, 0.0, ivar)
