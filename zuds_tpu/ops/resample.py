@@ -162,6 +162,14 @@ def warp_shift_image_mask(img, mask, u, v, window=4):
 
     lo = -(window + SUPPORT)
     hi = window + SUPPORT
+    ntap = hi - lo + 1
+    # hoist the column weight fields: lanczos3 is transcendental (sin), and
+    # recomputing it per (dy, dx) pair costs ~15x more sin passes than the
+    # tap FMAs themselves. One stack of ntap wx fields turns the tap loop
+    # into pure multiply-adds.
+    wx = jnp.stack([lanczos3(du - dx) for dx in range(lo, hi + 1)])
+    wxsum = jnp.sum(wx, axis=0)
+
     # scan over tap rows keeps liveness bounded (the fully-unrolled double
     # loop held O(taps) rolled frames alive and OOM'd at batch>1)
     dys = jnp.arange(lo, hi + 1)
@@ -171,13 +179,13 @@ def warp_shift_image_mask(img, mask, u, v, window=4):
         wy = lanczos3(dv - dy)
         simg_row = jnp.roll(img, -dy, axis=0)
         smask_row = jnp.roll(mask, -dy, axis=0)
-        for dx in range(lo, hi + 1):
-            w = lanczos3(du - dx) * wy
+        for j, dx in enumerate(range(lo, hi + 1)):
+            w = wx[j] * wy
             acc = acc + jnp.roll(simg_row, -dx, axis=1) * w
-            wacc = wacc + w
             take = jnp.abs(w) > 5e-3
             macc = macc | jnp.where(take, jnp.roll(smask_row, -dx, axis=1),
                                     0).astype(mask.dtype)
+        wacc = wacc + wxsum * wy
         return (acc, wacc, macc), None
 
     init = (jnp.zeros(img.shape, dtype=jnp.float32),

@@ -339,7 +339,7 @@ def apply_kernel(ref, coeffs, basis_gx, basis_gy, basis_sums, b0_2d,
     # matmul per static region slice — zero mask fields.
     hi = jax.lax.Precision.HIGHEST
     pad = (K // 2, (K - 1) // 2)
-    CHUNK = 8
+    CHUNK = 49
     x = ref[None, None]                                      # (1,1,H,W)
     # per-region spatial-term accumulators E_r: (Nm, h_r, w_r)
     E = [[None for _ in range(nreg)] for _ in range(nreg)]
