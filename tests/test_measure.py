@@ -1,0 +1,73 @@
+"""Windowed-centroid + Kron photometry tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zuds_tpu.ops.measure import refine_detections
+
+
+def test_windowed_centroid_subpixel(rng):
+    """XWIN recovers subpixel positions far better than 1 px."""
+    H = W = 128
+    yy, xx = np.mgrid[0:H, 0:W]
+    sigma = 1.8
+    truth = [(40.37, 50.81), (80.12, 30.55), (64.5, 100.25)]
+    img = rng.normal(0, 0.5, (H, W)).astype('f4')
+    for x0, y0 in truth:
+        img += (20000.0 / (2 * np.pi * sigma ** 2) * np.exp(
+            -((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * sigma ** 2))
+        ).astype('f4')
+    n = len(truth)
+    # start from rounded (isophotal-like) centroids
+    xs = np.array([round(t[0]) for t in truth], dtype='f4')
+    ys = np.array([round(t[1]) for t in truth], dtype='f4')
+    out = refine_detections(
+        jnp.asarray(img), jnp.ones((H, W), 'f4'),
+        jnp.asarray(xs), jnp.asarray(ys),
+        jnp.full(n, 1.8, dtype='f4'), jnp.full(n, 1.8, dtype='f4'),
+        jnp.zeros(n, dtype='f4'), jnp.full(n, 1.8 * 2.355, dtype='f4'))
+    xw = np.array(out['xwin'])
+    yw = np.array(out['ywin'])
+    for i, (x0, y0) in enumerate(truth):
+        assert abs(xw[i] - x0) < 0.05, i
+        assert abs(yw[i] - y0) < 0.05, i
+
+
+def test_kron_flux_gaussian(rng):
+    """FLUX_AUTO captures ~94% of a Gaussian's total flux (SExtractor's
+    documented AUTO fraction for point sources)."""
+    H = W = 128
+    yy, xx = np.mgrid[0:H, 0:W]
+    sigma = 2.0
+    total = 50000.0
+    img = (total / (2 * np.pi * sigma ** 2) * np.exp(
+        -((xx - 64) ** 2 + (yy - 64) ** 2) / (2 * sigma ** 2))
+    ).astype('f4') + rng.normal(0, 0.5, (H, W)).astype('f4')
+    out = refine_detections(
+        jnp.asarray(img), jnp.ones((H, W), 'f4'),
+        jnp.asarray([64.0], dtype='f4'), jnp.asarray([64.0], dtype='f4'),
+        jnp.asarray([sigma], dtype='f4'), jnp.asarray([sigma], dtype='f4'),
+        jnp.zeros(1, dtype='f4'), jnp.asarray([sigma * 2.355], dtype='f4'))
+    flux = float(out['flux_auto'][0])
+    assert flux == pytest.approx(total, rel=0.08)
+    assert flux > 0.9 * total
+    # Kron radius of a Gaussian in units of sigma: ~1.25 (analytic mean
+    # radius sqrt(pi/2)) when a=sigma
+    assert float(out['kron_radius'][0]) == pytest.approx(1.25, rel=0.15)
+
+
+def test_kron_elliptical(rng):
+    """Elongated source: AUTO aperture follows the ellipse."""
+    H = W = 128
+    yy, xx = np.mgrid[0:H, 0:W]
+    sa, sb = 4.0, 1.5
+    total = 80000.0
+    img = (total / (2 * np.pi * sa * sb) * np.exp(
+        -((xx - 64) ** 2 / (2 * sa ** 2) + (yy - 64) ** 2 / (2 * sb ** 2)))
+    ).astype('f4') + rng.normal(0, 0.5, (H, W)).astype('f4')
+    out = refine_detections(
+        jnp.asarray(img), jnp.ones((H, W), 'f4'),
+        jnp.asarray([64.0], dtype='f4'), jnp.asarray([64.0], dtype='f4'),
+        jnp.asarray([sa], dtype='f4'), jnp.asarray([sb], dtype='f4'),
+        jnp.zeros(1, dtype='f4'), jnp.asarray([2.355 * 2.4], dtype='f4'))
+    assert float(out['flux_auto'][0]) == pytest.approx(total, rel=0.1)

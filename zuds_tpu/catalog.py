@@ -120,19 +120,32 @@ class PipelineFITSCatalog(File):
             jnp.asarray(bkgsub), jnp.asarray(rms), jnp.asarray(mask),
             jnp.asarray(xs.astype('f4')), jnp.asarray(ys.astype('f4')))
 
+        # refined measurements: windowed centroids + Kron AUTO photometry
+        from .ops.measure import refine_detections
+        ref_meas = refine_detections(
+            jnp.asarray(bkgsub), jnp.asarray(rms),
+            jnp.asarray(xs.astype('f4')), jnp.asarray(ys.astype('f4')),
+            jnp.asarray(np.array(out['a'])[idx].astype('f4')),
+            jnp.asarray(np.array(out['b'])[idx].astype('f4')),
+            jnp.asarray(np.array(out['theta'])[idx].astype('f4')),
+            jnp.asarray(np.array(out['fwhm'])[idx].astype('f4')))
+        xwin = np.array(ref_meas['xwin'])
+        ywin = np.array(ref_meas['ywin'])
+
         cat = np.zeros(n, dtype=CATALOG_DTYPE)
         cat['NUMBER'] = np.arange(1, n + 1)
         # SExtractor pixel coordinates are FITS 1-based
         cat['X_IMAGE'] = xs + 1.0
         cat['Y_IMAGE'] = ys + 1.0
-        cat['XWIN_IMAGE'] = cat['X_IMAGE']
-        cat['YWIN_IMAGE'] = cat['Y_IMAGE']
+        cat['XWIN_IMAGE'] = xwin + 1.0
+        cat['YWIN_IMAGE'] = ywin + 1.0
         if 'CRVAL1' in image.header:
             ra, dec = image.wcs.pix2sky_0(xs, ys)
             cat['X_WORLD'] = ra
             cat['Y_WORLD'] = dec
-            cat['XWIN_WORLD'] = ra
-            cat['YWIN_WORLD'] = dec
+            raw, decw = image.wcs.pix2sky_0(xwin, ywin)
+            cat['XWIN_WORLD'] = raw
+            cat['YWIN_WORLD'] = decw
         for src, dst in [('a', 'A_IMAGE'), ('b', 'B_IMAGE'),
                          ('elongation', 'ELONGATION'),
                          ('fwhm', 'FWHM_IMAGE'), ('flux', 'FLUX_ISO'),
@@ -146,9 +159,10 @@ class PipelineFITSCatalog(File):
         cat['IMAFLAGS_ISO'] = np.array(out['imaflags'])[idx]
         cat['FLUX_APER'] = np.array(phot['flux'])
         cat['FLUXERR_APER'] = np.array(phot['fluxerr'])
-        # FLUX_AUTO: isophotal flux as the stand-in total (Kron radii TODO)
-        cat['FLUX_AUTO'] = cat['FLUX_ISO']
-        cat['FLUXERR_AUTO'] = cat['FLUXERR_APER']
+        # FLUX_AUTO: Kron elliptical-aperture photometry (PHOT_AUTOPARAMS
+        # 2.5, 3.5 semantics)
+        cat['FLUX_AUTO'] = np.array(ref_meas['flux_auto'])
+        cat['FLUXERR_AUTO'] = np.array(ref_meas['fluxerr_auto'])
         zp = image.header.get('MAGZP', 0.0) or 0.0
         with np.errstate(divide='ignore', invalid='ignore'):
             cat['MAG_AUTO'] = zp - 2.5 * np.log10(
