@@ -121,6 +121,24 @@ class Subtraction:
             sci.local_path if sci.ismapped else sci.basename,
             ref.local_path if ref.ismapped else ref.basename)
 
+        # conditioning guard: the per-region fit has Nb*Nm+1 unknowns; with
+        # too few star stamps per region the ridge solve degrades silently
+        # (hotpants runs ~100 substamps/region at production scale). Reduce
+        # the spatial order, then the region grid, until determined.
+        from .constants import KERNEL_GAUSS_DEGREES
+        from .ops.subtract import spatial_terms
+        _, _, valid_all = _select_stamps(sci, smax=smax)
+        nstamps = max(int(valid_all.sum()), 1)
+        nbasis = sum((d + 1) * (d + 2) // 2 for d in KERNEL_GAUSS_DEGREES)
+        while nreg_side > 1 or spatial_order > 0:
+            unknowns = nbasis * len(spatial_terms(spatial_order)) + 1
+            if nstamps / (nreg_side ** 2) >= 0.1 * unknowns:
+                break
+            if spatial_order > 0:
+                spatial_order -= 1
+            else:
+                nreg_side -= 1
+
         if method == 'zogy':
             from .ops.zogy import zogy_subtract, estimate_psf_from_stars
             xs, ys, valid = _select_stamps(sci, smax=64)
@@ -182,6 +200,8 @@ class Subtraction:
             if kw in sci.header:
                 header.set(kw, sci.header[kw])
         header.set('SUBMETH', method, 'subtraction engine')
+        header.set('SUBKO', spatial_order, 'kernel spatial order used')
+        header.set('SUBNRX', nreg_side, 'kernel region grid used')
         sub.header = header
         sub.data = diff.astype('f4')
         sub.basename = os.path.basename(outfile_name)
