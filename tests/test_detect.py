@@ -137,3 +137,44 @@ def test_segmentation_map(rng):
     assert seg.shape == (H, W)
     assert seg[64, 64] > 0
     assert seg[5, 5] == 0
+
+
+def test_deblend_splits_pair(rng):
+    """Two overlapping stars above the contrast threshold split into two
+    objects; deblend=False keeps the single blended component."""
+    H, W = 128, 128
+    img = rng.normal(0, 1.0, (H, W)).astype('f4')
+    yy, xx = np.mgrid[0:H, 0:W]
+    for (x0, y0, f) in [(60.0, 64.0, 30000.0), (66.0, 64.0, 22000.0)]:
+        img += (f / (2 * np.pi * 4) * np.exp(
+            -((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * 4.0))).astype('f4')
+    rms = np.ones((H, W), dtype='f4')
+    out = detect_sources(jnp.array(img), jnp.array(rms), max_det=64)
+    valid = np.array(out['valid'])
+    xs = np.array(out['x'])[valid]
+    pair = xs[(xs > 50) & (xs < 75)]
+    assert len(pair) == 2
+    assert abs(min(pair) - 60.0) < 1.0
+    assert abs(max(pair) - 66.0) < 1.0
+    out2 = detect_sources(jnp.array(img), jnp.array(rms), max_det=64,
+                          deblend=False)
+    v2 = np.array(out2['valid'])
+    xs2 = np.array(out2['x'])[v2]
+    assert len(xs2[(xs2 > 50) & (xs2 < 75)]) == 1
+
+
+def test_deblend_keeps_faint_bump(rng):
+    """A bump below DEBLEND_MINCONT contrast must NOT split off."""
+    H, W = 128, 128
+    img = rng.normal(0, 1.0, (H, W)).astype('f4')
+    yy, xx = np.mgrid[0:H, 0:W]
+    img += (50000.0 / (2 * np.pi * 4) * np.exp(
+        -((xx - 64) ** 2 + (yy - 64) ** 2) / (2 * 4.0))).astype('f4')
+    # companion at 0.1% of the flux: below the 0.5% contrast floor
+    img += (50.0 / (2 * np.pi * 2) * np.exp(
+        -((xx - 70) ** 2 + (yy - 64) ** 2) / (2 * 2.0))).astype('f4')
+    rms = np.ones((H, W), dtype='f4')
+    out = detect_sources(jnp.array(img), jnp.array(rms), max_det=64)
+    valid = np.array(out['valid'])
+    xs = np.array(out['x'])[valid]
+    assert len(xs[(xs > 55) & (xs < 80)]) == 1

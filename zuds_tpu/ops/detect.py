@@ -18,9 +18,12 @@ TPU design notes
 * Per-component statistics are ``segment_sum``s into fixed-capacity buffers
   of MAX_DETECTIONS rows (ragged outputs become masked fixed-shape tensors).
 
-Deblending: single-threshold extraction (no 32-level multi-threshold split
-yet); on subtraction frames — the detection workload of this pipeline —
-blending is rare. Tracked as a known gap vs SExtractor.
+Deblending: steepest-ascent watershed cells with SExtractor's
+DEBLEND_MINCONT contrast rule — each detected pixel ascends to its local
+peak of the filtered image; a cell splits off as its own object when its
+flux exceeds DEBLEND_MINCONT x the parent component's flux (the 32-level
+multi-threshold tree is approximated by these cells; saddle-level flux
+partitioning is the remaining refinement).
 """
 from __future__ import annotations
 
@@ -113,10 +116,12 @@ DETECTION_FIELDS = [
 ]
 
 
-@partial(jax.jit, static_argnames=('max_det', 'minarea', 'return_labels'))
+@partial(jax.jit, static_argnames=('max_det', 'minarea', 'return_labels',
+                                   'deblend'))
 def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                    nsigma=DETECT_NSIGMA, minarea=DETECT_NPIX,
-                   max_det=MAX_DETECTIONS, kernel=None, return_labels=True):
+                   max_det=MAX_DETECTIONS, kernel=None, return_labels=True,
+                   deblend=True):
     """Detect sources on a background-subtracted frame.
 
     Parameters
@@ -158,26 +163,92 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
 
     labels = label_components(det)
 
-    # compact component ids: component roots satisfy labels[i] == flat(i)
     flat = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
-    roots = det & (labels == flat)
-    order = jnp.cumsum(roots.ravel().astype(jnp.int32))  # 1-based at roots
-
     nseg = max_det + 2
 
     # TPU scatter/gather discipline: segment-reduce over a fixed-capacity
     # COMPACTED pixel list, not the full frame — detected pixels are <<1% of
     # a frame and full-frame scatters/gathers cost ~100 ms each. Capacity
     # overflow drops the raggedest tail (counted in ``pix_overflow``).
+    # fill_value = last index keeps pidx sorted (needed by searchsorted).
     cap = min(H * W, max(1 << 14, 64 * max_det))
     det_flat = det.ravel()
     ndet_pix = jnp.sum(det_flat.astype(jnp.int32))
-    pidx = jnp.nonzero(det_flat, size=cap, fill_value=0)[0]
+    pidx = jnp.nonzero(det_flat, size=cap, fill_value=H * W - 1)[0]
     pok = jnp.arange(cap) < jnp.minimum(ndet_pix, cap)
-    lab_c = jnp.where(pok, labels.ravel()[pidx], 0)      # (cap,) gather
-    comp_c = order[lab_c]                                 # (cap,) gather
-    comp_c = jnp.where(comp_c > max_det, max_det + 1, comp_c)
-    cid = jnp.where(pok, comp_c, nseg - 1)
+    lab_c = jnp.where(pok, labels.ravel()[pidx], H * W - 1)  # CCL root idx
+
+    # ---- deblending: steepest-ascent watershed + contrast rule ----------
+    # Each detected pixel follows its max-filtered-value neighbor uphill to
+    # a local peak (SExtractor's multi-threshold tree is approximated by
+    # these watershed cells). A cell becomes its own object when its flux
+    # exceeds DEBLEND_MINCONT x its component's flux and it is not the
+    # component's dominant (brightest) cell; otherwise it merges into the
+    # component root. Runs on the compacted pixel list: the only full-frame
+    # work is the elementwise 9-neighbor argmax.
+    from ..constants import DEBLEND_MINCONT
+    big_neg = jnp.float32(-3e38)
+    fdet = jnp.where(det, filt, big_neg)
+    best_val = fdet
+    best_idx = flat
+
+    def _shift2(arr, dy, dx, fill):
+        out = arr
+        if dy > 0:
+            out = jnp.concatenate(
+                [jnp.full((dy, W), fill, arr.dtype), out[:-dy]], axis=0)
+        elif dy < 0:
+            out = jnp.concatenate(
+                [out[-dy:], jnp.full((-dy, W), fill, arr.dtype)], axis=0)
+        if dx > 0:
+            out = jnp.concatenate(
+                [jnp.full((H, dx), fill, arr.dtype), out[:, :-dx]], axis=1)
+        elif dx < 0:
+            out = jnp.concatenate(
+                [out[:, -dx:], jnp.full((H, -dx), fill, arr.dtype)], axis=1)
+        return out
+
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nv = _shift2(fdet, dy, dx, big_neg)
+            ni = _shift2(flat, dy, dx, 0)
+            take = nv > best_val
+            best_val = jnp.where(take, nv, best_val)
+            best_idx = jnp.where(take, ni, best_idx)
+    parent_flat = jnp.where(det, best_idx, flat).ravel()
+
+    p_c = jnp.where(pok, parent_flat[pidx], H * W - 1)
+    # chains ascend monotonically; 16 hops reach any real peak
+    p_c = jax.lax.fori_loop(0, 16, lambda _, p: parent_flat[p], p_c)
+
+    filt_c = jnp.where(pok, filt.ravel()[pidx], 0.0)
+    img_c = jnp.where(pok, img.ravel()[pidx], 0.0)
+    pos_c = jnp.maximum(img_c, 0.0)
+    cellpos = jnp.searchsorted(pidx, p_c).astype(jnp.int32)
+    comppos = jnp.searchsorted(pidx, lab_c).astype(jnp.int32)
+    f_cell = jax.ops.segment_sum(jnp.where(pok, pos_c, 0.0), cellpos,
+                                 num_segments=cap)
+    n_cell = jax.ops.segment_sum(pok.astype(jnp.float32), cellpos,
+                                 num_segments=cap)
+    f_comp = jax.ops.segment_sum(jnp.where(pok, pos_c, 0.0), comppos,
+                                 num_segments=cap)
+    m_comp = jax.ops.segment_max(jnp.where(pok, filt_c, big_neg), comppos,
+                                 num_segments=cap)
+    peak_val = filt_c[cellpos]
+    dominant = peak_val >= m_comp[comppos]
+    significant = ((f_cell[cellpos] >= DEBLEND_MINCONT * f_comp[comppos])
+                   & (n_cell[cellpos] >= minarea) & ~dominant)
+    key_c = jnp.where(significant, p_c, lab_c) if deblend else lab_c
+
+    # renumber deblended objects in raster order of their root pixels
+    is_root_c = pok & (pidx == key_c)
+    robj = jnp.cumsum(is_root_c.astype(jnp.int32))       # 1-based at roots
+    rootpos = jnp.searchsorted(pidx, key_c).astype(jnp.int32)
+    obj = robj[rootpos]
+    obj = jnp.where(obj > max_det, max_det + 1, obj)
+    cid = jnp.where(pok, obj, nseg - 1)
 
     def gat(arr2d):
         return arr2d.ravel()[pidx]
@@ -258,13 +329,12 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     }
     out['n'] = jnp.sum(valid[sl].astype(jnp.int32))
     if return_labels:
-        # compact segmentation map: sources failing minarea are zeroed.
-        # Full-frame gathers — skip in the fused pipeline (the SEGMENTATION
-        # check-image is a host-path product).
-        safe_labels = jnp.where(det, labels, 0)
-        comp = jnp.where(det, order[safe_labels.ravel()].reshape(H, W), 0)
-        comp_cap = jnp.where(comp > max_det, max_det + 1, comp)
+        # segmentation map: scatter object ids back to pixel positions;
+        # sources failing minarea are zeroed. One full-frame scatter —
+        # skipped in the fused pipeline (SEGMENTATION is a host product).
         keep = jnp.concatenate([jnp.zeros(1, bool), valid[1:]])
-        seg = jnp.where(keep[comp_cap.clip(0, max_det + 1)], comp_cap, 0)
-        out['labels'] = seg.astype(jnp.int32)
+        obj_masked = jnp.where(pok & keep[obj.clip(0, max_det + 1)], obj, 0)
+        seg = jnp.zeros(H * W, dtype=jnp.int32).at[pidx].set(
+            obj_masked.astype(jnp.int32))
+        out['labels'] = seg.reshape(H, W)
     return out
