@@ -131,3 +131,50 @@ def test_blocked_sizes(tmp_path):
         write_fits(path, [HDU(Header(), data)])
         out = read_fits(path)[0].data
         np.testing.assert_array_equal(out, data)
+
+
+def test_logical_column_is_ascii_tf(tmp_path):
+    # FITS 'L' columns store ASCII 'T'/'F' (astropy/fitsio interop), and
+    # read back as numpy bool
+    from zuds_tpu.fits import table_to_hdu
+    table = np.zeros(4, dtype=[('good', '?'), ('x', 'f4')])
+    table['good'] = [True, False, True, False]
+    path = tmp_path / 'logical.fits'
+    write_fits(path, [table_to_hdu(table)])
+    blob = path.read_bytes()
+    start = blob.find(b'XTENSION')
+    dstart = ((blob.find(b'END', start) // 2880) + 1) * 2880
+    assert blob[dstart] == ord('T') and blob[dstart + 5] == ord('F')
+    out = read_fits(path)[-1].data
+    assert out['good'].dtype == np.dtype(bool)
+    np.testing.assert_array_equal(out['good'], table['good'])
+
+
+def test_long_string_continue_roundtrip():
+    long = 'a/very/long/' + 'x' * 150 + '/sciimg.fits'
+    h = Header()
+    h.set('FILENAME', long, 'where it lives')
+    h.set('QUOTES', ("it's an 'awkward' long value " * 5).rstrip())
+    h2 = Header.from_bytes(h.to_bytes())
+    assert h2['FILENAME'] == long
+    assert h2['QUOTES'] == h['QUOTES']
+    assert h2.comments['FILENAME'] == 'where it lives'
+
+
+def test_foreign_continue_cards_parse():
+    cards = ''.join(c.ljust(80) for c in [
+        "FILENAME= 'abcdefghij&'",
+        "CONTINUE  'klmnopqrst&'",
+        "CONTINUE  'uvwxyz'              / tail comment",
+        "END",
+    ])
+    h = Header.from_bytes(cards)
+    assert h['FILENAME'] == 'abcdefghijklmnopqrstuvwxyz'
+    assert h.comments['FILENAME'] == 'tail comment'
+
+
+def test_oversize_numeric_value_raises():
+    from zuds_tpu.fits.header import format_card
+    import pytest
+    with pytest.raises(ValueError):
+        format_card('BIGINT', 10 ** 100)

@@ -154,3 +154,19 @@ def test_ztf_real_header_values():
     x2, y2 = wcs.sky2pix(ra, dec)
     np.testing.assert_allclose(x2, x, atol=1e-7)
     np.testing.assert_allclose(y2, y, atol=1e-7)
+
+
+def test_pv_default_is_per_axis():
+    # PV terms on only one axis must not zero the other polynomial: the
+    # TPV convention defaults PVi_1=1 independently per axis
+    from zuds_tpu.fits import Header
+    h = Header()
+    for k, v in [('CRPIX1', 1536.0), ('CRPIX2', 1540.0),
+                 ('CRVAL1', 150.0), ('CRVAL2', 35.0),
+                 ('CD1_1', -2.8e-4), ('CD2_2', 2.8e-4),
+                 ('PV2_1', 1.0), ('PV2_5', 0.01)]:
+        h.set(k, v)
+    wcs = TPVWCS.from_header(h)
+    assert wcs.pv1[1] == 1.0
+    ra, dec = wcs.pix2sky(np.array([100.0]), np.array([200.0]))
+    assert np.isfinite(ra).all() and abs(ra[0] - 150.0) > 1e-3

@@ -78,8 +78,14 @@ def _coadd_from_images(cls, images, outfile_name, nthreads=1, addbkg=True,
         grid = pixel_mapping(im.wcs, wcs, (H, W))
         u, v = upsample_mapping(jnp.asarray(grid.u), jnp.asarray(grid.v),
                                 grid.shape, grid.step)
+        # Science coadds combine per-epoch background-subtracted pixels
+        # (swarp SUBTRACT_BACK Y, reference makecoadd/default.swarp:77);
+        # epoch-to-epoch sky offsets would otherwise be FLXSCALE-amplified
+        # and bias the CLIPPED combine. The addbkg=False path (multi-epoch
+        # subtraction stacking) feeds already-background-free frames.
+        src = im.background_subtracted_image if addbkg else im
         data = jnp.asarray(
-            np.ascontiguousarray(im.data).astype(np.float32))
+            np.ascontiguousarray(src.data).astype(np.float32))
         wdat = jnp.asarray(
             np.ascontiguousarray(im.weight_image.data).astype(np.float32))
         img_w, cov = warp_image(data, u, v)

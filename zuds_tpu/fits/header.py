@@ -81,10 +81,14 @@ def parse_card(card):
         return (key, card[8:].rstrip(), '')
     if key == 'END':
         return ('END', None, '')
-    if card[8:10] != '= ':
+    if key == 'CONTINUE':
+        # OGIP long-string continuation: quoted string after column 8
+        body = card[8:]
+    elif card[8:10] != '= ':
         # keyword with no value indicator
         return (key, UNDEFINED, card[10:].rstrip())
-    body = card[10:]
+    else:
+        body = card[10:]
     # find the comment separator: a '/' outside of a quoted string
     in_str = False
     comment = ''
@@ -116,8 +120,28 @@ def _format_float(value):
     return s
 
 
+def _string_chunks(value, limit=67):
+    """Split a raw string so each chunk's quote-escaped form fits a card."""
+    chunks, cur, curlen = [], [], 0
+    for ch in value:
+        el = 2 if ch == "'" else 1
+        if curlen + el > limit:
+            chunks.append(''.join(cur))
+            cur, curlen = [], 0
+        cur.append(ch)
+        curlen += el
+    chunks.append(''.join(cur))
+    return chunks
+
+
 def format_card(key, value, comment=''):
-    """Format a (keyword, value, comment) triple into an 80-char card."""
+    """Format a (keyword, value, comment) triple into one or more 80-char
+    cards (returned concatenated).
+
+    Long string values use the OGIP 1.0 CONTINUE convention ('&'-terminated
+    chunks); over-long comments are truncated (comments only — a non-string
+    value that cannot fit its card raises instead of silently corrupting).
+    """
     if key in ('COMMENT', 'HISTORY', ''):
         card = f'{key:<8}{value}'
         return card[:CARD_LEN].ljust(CARD_LEN)
@@ -126,6 +150,18 @@ def format_card(key, value, comment=''):
 
     if isinstance(value, str):
         esc = value.replace("'", "''")
+        if len(esc) > 68:
+            chunks = _string_chunks(value)
+            cards = []
+            for i, chunk in enumerate(chunks):
+                last = i == len(chunks) - 1
+                esc_c = chunk.replace("'", "''") + ('' if last else '&')
+                body = f"'{esc_c}'"
+                if last and comment:
+                    body = f'{body} / {comment}'
+                prefix = f'{key:<8}= ' if i == 0 else 'CONTINUE  '
+                cards.append(f'{prefix}{body}'[:CARD_LEN].ljust(CARD_LEN))
+            return ''.join(cards)
         vstr = f"'{esc:<8}'"
         # strings are left-justified starting at column 11
         body = f'{vstr:<20}'
@@ -142,6 +178,9 @@ def format_card(key, value, comment=''):
             vstr = str(value)
         else:
             vstr = str(value)
+        if len(vstr) > CARD_LEN - 10:
+            raise ValueError(
+                f'value of {key!r} does not fit a FITS card: {vstr!r}')
         body = f'{vstr:>20}'
     if comment:
         body = f'{body} / {comment}'
@@ -267,6 +306,7 @@ class Header:
         """Parse raw header blocks (must include the END card)."""
         h = cls()
         n = len(raw) // CARD_LEN
+        last_key = None
         for i in range(n):
             card = raw[i * CARD_LEN:(i + 1) * CARD_LEN]
             if isinstance(card, bytes):
@@ -283,8 +323,17 @@ class Header:
                 h._history.append(('HISTORY', value))
             elif key == '':
                 h._commentary.append(('', value))
+            elif key == 'CONTINUE':
+                # OGIP long string: previous card's value ends with '&'
+                prev = h._values.get(last_key)
+                if (last_key is not None and isinstance(prev, str)
+                        and prev.endswith('&') and isinstance(value, str)):
+                    h._values[last_key] = prev[:-1] + value
+                    if comment:
+                        h._comments[last_key] = comment
             else:
                 h.set(key, value, comment)
+                last_key = key
         return h
 
     def to_bytes(self):

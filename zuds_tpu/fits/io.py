@@ -137,7 +137,7 @@ def _parse_tform(tform):
 
 def _decode_table(header, buf):
     tfields = header['TFIELDS']
-    names, formats = [], []
+    names, formats, logicals = [], [], []
     for i in range(1, tfields + 1):
         name = header.get(f'TTYPE{i}', f'col{i}').strip()
         repeat, letter = _parse_tform(header[f'TFORM{i}'])
@@ -150,6 +150,7 @@ def _decode_table(header, buf):
             fmt = (kind, (repeat,))
         names.append(name)
         formats.append(fmt)
+        logicals.append(letter == 'L')
     dtype = np.dtype({'names': names, 'formats': formats})
     nrows = header['NAXIS2']
     rowlen = header['NAXIS1']
@@ -158,20 +159,18 @@ def _decode_table(header, buf):
             f'row length mismatch: TFORMs give {dtype.itemsize}, '
             f'NAXIS1={rowlen}')
     arr = np.frombuffer(buf[:nrows * rowlen], dtype=dtype)
-    out = np.empty(nrows, dtype=arr.dtype.newbyteorder('='))
-    for name in names:
+    out_formats = ['?' if lg else f for f, lg in zip(formats, logicals)]
+    out = np.empty(nrows, dtype=np.dtype(
+        {'names': names, 'formats': out_formats}).newbyteorder('='))
+    for name, logical in zip(names, logicals):
         col = arr[name]
-        if col.dtype.kind == 'b' or (col.dtype.kind == 'u'
-                                     and header_col_is_logical(header, names.index(name) + 1)):
-            out[name] = col
+        if logical:
+            # FITS logical columns store ASCII 'T'/'F' (astropy/fitsio
+            # write 84/70); anything other than T/t reads as False
+            out[name] = (col == 84) | (col == 116)
         else:
             out[name] = col.astype(col.dtype.newbyteorder('='))
     return out
-
-
-def header_col_is_logical(header, i):
-    _, letter = _parse_tform(header[f'TFORM{i}'])
-    return letter == 'L'
 
 
 def read_fits(path_or_buf):
@@ -297,7 +296,9 @@ def table_to_hdu(table, header=None):
         if base.kind == 'S':
             tform = f'{base.itemsize}A'
         else:
-            key = (base.kind if base.kind != 'b' else 'u', base.itemsize)
+            key = (base.kind, base.itemsize)
+            if base.kind == 'u' and base.itemsize > 1:
+                key = ('i', base.itemsize)  # stored as signed on disk
             if key not in _KIND_TO_TFORM:
                 raise ValueError(f'unsupported column dtype {base}')
             tform = f'{repeat}{_KIND_TO_TFORM[key]}'
@@ -333,8 +334,16 @@ def _encode_table(header, table):
     dtype = np.dtype([(n, b, s) if s else (n, b) for n, b, s in fields])
     out = np.empty(len(table), dtype=dtype)
     for name in table.dtype.names:
-        out[name] = table[name]
-    full = table_to_hdu(np.empty(0, dtype=dtype), header=header).header
+        src = table[name]
+        if src.dtype.kind == 'b' or (src.dtype.subdtype is not None
+                                     and src.dtype.subdtype[0].kind == 'b'):
+            # logical ('L') columns are ASCII 'T'/'F' on disk, not 0/1
+            out[name] = np.where(src, np.uint8(84), np.uint8(70))
+        else:
+            out[name] = src
+    # derive TFORMs from the ORIGINAL dtype (bool columns must stay 'L';
+    # the converted dtype has them as u1 which would mislabel them 'B')
+    full = table_to_hdu(np.empty(0, dtype=table.dtype), header=header).header
     full.set('NAXIS1', dtype.itemsize)
     full.set('NAXIS2', len(table))
     if header is not None:

@@ -145,8 +145,10 @@ class Subtraction:
             psf_new = estimate_psf_from_stars(
                 jnp.asarray(scimbkg - BKG_VAL), jnp.asarray(xs),
                 jnp.asarray(ys), jnp.asarray(valid))
-            rxs, rys, rvalid = _select_stamps(ref, smax=64) \
-                if hasattr(ref, 'catalog') else (xs, ys, valid)
+            # science-frame star positions are intentionally reused on the
+            # remapped reference: refdata is already aligned into the
+            # science grid, so ref-catalog coordinates (unaligned frame)
+            # would be the wrong frame here
             psf_ref = estimate_psf_from_stars(
                 jnp.asarray(refdata), jnp.asarray(xs),
                 jnp.asarray(ys), jnp.asarray(valid))

@@ -131,16 +131,21 @@ class TPVWCS:
             cd = pc * cdelt[:, None]
         pv1 = np.zeros(NUM_PV)
         pv2 = np.zeros(NUM_PV)
-        have_pv = False
+        # the registered TPV convention defaults each axis independently:
+        # an axis with no PVi_* cards gets the identity polynomial PVi_1=1
+        # (a header with PV terms on only one axis must not collapse the
+        # other intermediate coordinate to zero)
+        have_pv1 = have_pv2 = False
         for i in range(NUM_PV):
             if f'PV1_{i}' in header:
                 pv1[i] = header[f'PV1_{i}']
-                have_pv = True
+                have_pv1 = True
             if f'PV2_{i}' in header:
                 pv2[i] = header[f'PV2_{i}']
-                have_pv = True
-        if not have_pv:
+                have_pv2 = True
+        if not have_pv1:
             pv1[1] = 1.0
+        if not have_pv2:
             pv2[1] = 1.0
         return cls(crpix, crval, cd, pv1, pv2)
 
