@@ -206,3 +206,50 @@ def test_archive_roundtrip(db, tmp_path, tmp_config):
     restored = retrieve_from_cold(db, ['q1.fits', 'q2.fits'], cold, dest)
     assert len(restored) == 2
     assert open(restored[0], 'rb').read() == b'x' * 100
+
+
+def test_update_tap_sync(db):
+    """IRSA TAP metadata reflection against a canned CSV response
+    (reference scripts/update.py:40-99 via ztfquery; here a real TAP
+    query/parse/insert path with the network fetch injected)."""
+    import json
+    import update
+    from zuds_tpu.core import ZTFFile
+
+    q = update.build_query(411, 441)
+    assert 'nid >= 411' in q and 'ipac_gid > 0' in q
+    assert update.META_TABLE in q
+
+    header = ','.join(update.META_COLUMNS)
+    row1 = ('679,5,2,2,zr,o,20200301123456,2458915.5,0,1001,800,55,2.1,'
+            '1.2,0.5,0.1,20.5,1536.5,1540.5,150.1,35.2,-0.0003,0.0,0.0,'
+            '0.0003,150.1,35.2,149.9,35.0,150.3,35.0,150.3,35.4,149.9,'
+            '35.4,2,30.0')
+    row2 = row1.replace('679,5,2,2', '680,6,3,1').replace('zr', 'zg')
+    csv_text = header + '\n' + row1 + '\n' + row2 + '\n'
+
+    calls = []
+
+    def fake_fetch(nid_lo, nid_hi, auth=None):
+        calls.append((nid_lo, nid_hi))
+        return csv_text if not calls[1:] else header + '\n'
+
+    n = update.sync(fetch=fake_fetch, now_jd=2458915.5 + 45)
+    assert n == 2
+    assert len(calls) >= 1
+    imgs = db.query(ZTFFile).filter_by(type='sci').all()
+    assert len(imgs) == 2
+    img = [i for i in imgs if i.field == 679][0]
+    assert img.basename == 'ztf_20200301123456_000679_zr_c05_o_q2_sciimg.fits'
+    assert img.obsjd == 2458915.5
+    hdr = json.loads(img.header)
+    assert hdr['DBNID'] == 800 and hdr['PROGRMID'] == 2
+    masks = db.query(ZTFFile).filter_by(type='mask').all()
+    assert len(masks) == 2
+    assert masks[0].basename.endswith('mskimg.fits')
+    assert {m.parent_id for m in masks} == {i.id for i in imgs}
+
+    # idempotent: a second sync with the same response inserts nothing new
+    calls.clear()
+    n2 = update.sync(fetch=fake_fetch, now_jd=2458915.5 + 45)
+    assert n2 == 0
