@@ -79,7 +79,9 @@ def test_batched_pipeline_sharded(rng):
              'basis_sums', 'b0']]
     with mesh:
         sharded = shard_batch(mesh, *args)
-        pipe = make_subtract_detect_pipeline(CFG)
+        # shard_map over 'data': each device runs its local frames
+        # sequentially — the production multi-chip form
+        pipe = make_subtract_detect_pipeline(CFG, mesh=mesh)
         out = pipe(*sharded)
         out['diff'].block_until_ready()
 

@@ -153,3 +153,46 @@ def test_shift_warp_matches_gather(rng):
     np.testing.assert_allclose(np.array(o1)[cov], np.array(o2)[cov],
                                atol=2e-4)
     np.testing.assert_array_equal(np.array(m1)[cov], np.array(m2)[cov])
+
+
+def test_warp_pallas_matches_xla(rng):
+    """Pallas strip-in-VMEM warp == XLA shift-accumulate warp (interpret
+    mode; the TPU pipeline dispatches to the Pallas form)."""
+    import jax.numpy as jnp
+    from zuds_tpu.ops.resample import warp_shift_image_mask
+    from zuds_tpu.ops.warp_pallas import warp_shift_image_mask_pallas
+
+    H, W = 48, 200
+    img = rng.normal(100, 10, (H, W)).astype('f4')
+    mask = (rng.random((H, W)) < 0.02).astype('u4') * 5
+    yy, xx = np.mgrid[0:H, 0:W].astype('f4')
+    u = xx + 1.7 + 0.3 * np.sin(yy / 7.0)
+    v = yy - 2.2 + 0.2 * np.cos(xx / 11.0)
+
+    ref = warp_shift_image_mask(jnp.asarray(img), jnp.asarray(mask),
+                                jnp.asarray(u), jnp.asarray(v), window=4)
+    out = warp_shift_image_mask_pallas(jnp.asarray(img), jnp.asarray(mask),
+                                       jnp.asarray(u), jnp.asarray(v),
+                                       window=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=1e-4)
+    assert (np.asarray(out[1]) == np.asarray(ref[1])).all()
+    assert (np.asarray(out[2]) == np.asarray(ref[2])).all()
+
+
+def test_box_mask_or():
+    """Separable log-doubling dilation == brute-force window OR, and is a
+    superset of the exact per-tap significant-weight mask warp."""
+    import jax.numpy as jnp
+    from zuds_tpu.ops.resample import box_mask_or
+
+    rng2 = np.random.default_rng(5)
+    m = (rng2.random((40, 50)) < 0.03).astype('u4') * 9
+    for reach in (1, 3, 7):
+        out = np.asarray(box_mask_or(jnp.asarray(m), reach=reach))
+        brute = np.zeros_like(m)
+        mp = np.pad(m, reach)
+        for dy in range(2 * reach + 1):
+            for dx in range(2 * reach + 1):
+                brute |= mp[dy:dy + 40, dx:dx + 50]
+        assert (out == brute).all(), reach

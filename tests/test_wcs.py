@@ -170,3 +170,73 @@ def test_pv_default_is_per_axis():
     assert wcs.pv1[1] == 1.0
     ra, dec = wcs.pix2sky(np.array([100.0]), np.array([200.0]))
     assert np.isfinite(ra).all() and abs(ra[0] - 150.0) > 1e-3
+
+
+def test_tpv_degree3_refit_recovers_distortion():
+    """SCAMP-equivalent degree-3 PV refit: a frame distorted with known
+    cubic PV terms is recovered to <0.05 px (VERDICT r1 item 6;
+    reference zuds/astromatic/default.scamp DISTORT_DEGREES 3)."""
+    from zuds_tpu.scamp import fit_tpv_correction
+
+    rng = np.random.default_rng(11)
+    scale = 1.01 / 3600.0
+    true = TPVWCS.simple(crval=(150.0, 35.0), crpix=(1536.5, 1540.5),
+                         scale_deg=scale)
+    # inject ZTF-scale cubic distortion (~1e-3 relative at field edge)
+    true.pv1 = true.pv1.copy()
+    true.pv2 = true.pv2.copy()
+    true.pv1[[0, 2, 4, 5, 7, 9]] = [2e-5, 1.5e-3, 8e-3, -5e-3, 1.2e-2, 6e-3]
+    true.pv2[[0, 6, 8, 10]] = [-1e-5, 7e-3, -9e-3, 1.1e-2]
+    true.pv2[1] += 2e-3   # perturb the identity linear term, don't replace
+
+    # star pixel positions + their TRUE sky positions under the distortion
+    xs = rng.uniform(10, 3062, 400)
+    ys = rng.uniform(10, 3070, 400)
+    ra, dec = true.pix2sky(xs, ys)
+
+    # start from the undistorted guess (what a raw header would carry)
+    guess = TPVWCS.simple(crval=(150.0, 35.0), crpix=(1536.5, 1540.5),
+                          scale_deg=scale)
+    gx, gy = guess.sky2pix(ra, dec)
+    assert np.hypot(gx - xs, gy - ys).max() > 0.5  # distortion is real
+
+    fitted = fit_tpv_correction(guess, xs, ys, ra, dec, degree=3)
+    fx, fy = fitted.sky2pix(ra, dec)
+    resid = np.hypot(fx - xs, fy - ys)
+    assert resid.max() < 0.05
+
+    # holdout points (not used in the fit) also land sub-0.05 px
+    hx = rng.uniform(10, 3062, 100)
+    hy = rng.uniform(10, 3070, 100)
+    hra, hdec = true.pix2sky(hx, hy)
+    px, py = fitted.sky2pix(hra, hdec)
+    assert np.hypot(px - hx, py - hy).max() < 0.05
+
+
+def test_match_catalogs_grid_hash():
+    """O(N) matcher: same pairs as brute force, radius respected."""
+    from zuds_tpu.scamp import match_catalogs
+    from zuds_tpu.spatial import angular_distance
+
+    rng = np.random.default_rng(3)
+    n = 300
+    ra2 = rng.uniform(149.5, 150.5, n)
+    dec2 = rng.uniform(34.5, 35.5, n)
+    # catalog 1: jittered subset + some orphans far away
+    sel = rng.choice(n, 120, replace=False)
+    ra1 = ra2[sel] + rng.normal(0, 0.3 / 3600, 120) / np.cos(np.radians(35))
+    dec1 = dec2[sel] + rng.normal(0, 0.3 / 3600, 120)
+    ra1 = np.concatenate([ra1, rng.uniform(120, 121, 20)])
+    dec1 = np.concatenate([dec1, rng.uniform(10, 11, 20)])
+
+    i1, i2 = match_catalogs(ra1, dec1, ra2, dec2, radius_arcsec=2.0)
+    # brute-force truth
+    bi1, bi2 = [], []
+    for i in range(len(ra1)):
+        d = angular_distance(ra1[i], dec1[i], ra2, dec2) * 3600.0
+        j = int(np.argmin(d))
+        if d[j] <= 2.0:
+            bi1.append(i)
+            bi2.append(j)
+    assert list(i1) == bi1
+    assert list(i2) == bi2

@@ -109,6 +109,68 @@ def label_components(det, max_rounds=32, sweeps=8, hops=1):
     return labels
 
 
+def _label_compact(pidx, pok, shape, max_rounds=12):
+    """8-connected labeling on the COMPACTED detected-pixel list.
+
+    Classic hook+compress connected components, but every operand is a
+    (cap,)-sized array: neighbor adjacency comes from ``searchsorted`` over
+    the sorted flat indices, hooking takes the min label over the 8
+    neighbors, and path compression jumps ``l <- min(l, l[pos(l)])``.
+    Returns the component-min flat index per compact pixel.
+
+    TPU cost model: the full-frame variant (min-pool sweeps + full-frame
+    pointer hops) costs ~370 ms/quadrant because each hop is a 9.4M-px
+    gather; here every gather is over the 65k-entry compact list (~µs), so
+    labeling converges in O(log diameter) rounds at ~1 ms/round
+    (tools/profile_stages.py r2).
+    """
+    H, W = shape
+    cap = pidx.shape[0]
+    x = pidx % W
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+            (0, 1), (1, -1), (1, 0), (1, 1)]
+    nbr_pos, nbr_ok = [], []
+    for dy, dx in offs:
+        tgt = pidx + dy * W + dx
+        ok = pok & (tgt >= 0) & (tgt < H * W)
+        if dx == -1:
+            ok = ok & (x > 0)
+        if dx == 1:
+            ok = ok & (x < W - 1)
+        pos = jnp.clip(jnp.searchsorted(pidx, tgt).astype(jnp.int32),
+                       0, cap - 1)
+        ok = ok & (pidx[pos] == tgt) & pok[pos]
+        nbr_pos.append(pos)
+        nbr_ok.append(ok)
+    nbr_pos = jnp.stack(nbr_pos)
+    nbr_ok = jnp.stack(nbr_ok)
+
+    last = pidx[-1]
+
+    def pos_of(lbl):
+        p = jnp.searchsorted(pidx, jnp.minimum(lbl, last)).astype(jnp.int32)
+        return jnp.clip(p, 0, cap - 1)
+
+    l0 = jnp.where(pok, pidx, INT_MAX)
+
+    # fixed trip count (no data-dependent while_loop): hook+compress is
+    # O(log diameter) — ``max_rounds`` rounds of 8 compressions cover any
+    # realistic footprint, and each round is ~1 ms of compact-list work
+    def body(_, l):
+        ln = l
+        for k in range(8):
+            ln = jnp.minimum(ln, jnp.where(nbr_ok[k], l[nbr_pos[k]],
+                                           INT_MAX))
+
+        def compress(_, lc):
+            return jnp.minimum(lc, lc[pos_of(lc)])
+
+        ln = jax.lax.fori_loop(0, 8, compress, ln)
+        return jnp.where(pok, ln, INT_MAX)
+
+    return jax.lax.fori_loop(0, max_rounds, body, l0)
+
+
 DETECTION_FIELDS = [
     'x', 'y', 'x2', 'y2', 'xy', 'a', 'b', 'theta', 'elongation', 'fwhm',
     'flux', 'peak', 'npix', 'xmin', 'xmax', 'ymin', 'ymax', 'imaflags',
@@ -161,8 +223,6 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     thresh_map = nsigma * rms
     det = good & (filt > thresh_map)
 
-    labels = label_components(det)
-
     flat = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
     nseg = max_det + 2
 
@@ -176,7 +236,8 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     ndet_pix = jnp.sum(det_flat.astype(jnp.int32))
     pidx = jnp.nonzero(det_flat, size=cap, fill_value=H * W - 1)[0]
     pok = jnp.arange(cap) < jnp.minimum(ndet_pix, cap)
-    lab_c = jnp.where(pok, labels.ravel()[pidx], H * W - 1)  # CCL root idx
+    # connected components entirely on the compact list (no full-frame CCL)
+    lab_c = jnp.where(pok, _label_compact(pidx, pok, (H, W)), H * W - 1)
 
     # ---- deblending: steepest-ascent watershed + contrast rule ----------
     # Each detected pixel follows its max-filtered-value neighbor uphill to

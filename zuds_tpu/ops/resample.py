@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ['upsample_mapping', 'warp_image', 'warp_mask', 'warp_image_mask',
-           'lanczos3']
+           'box_mask_or', 'lanczos3']
 
 SUPPORT = 3  # Lanczos order: 6 taps per axis
 
@@ -134,6 +134,42 @@ def warp_mask(mask, u, v):
             take = jnp.abs(w) > 5e-3
             out = out | jnp.where(take, vals, 0).astype(mask.dtype)
     return jnp.where(inb, out, 0).astype(mask.dtype)
+
+
+def _shift_or(m, k, axis):
+    """m | roll(m, ±k) without wraparound contamination (edges padded 0)."""
+    z = jnp.zeros_like(m)
+    if axis == 0:
+        up = jnp.concatenate([m[k:], z[:k]], axis=0)
+        dn = jnp.concatenate([z[-k:], m[:-k]], axis=0)
+    else:
+        up = jnp.concatenate([m[:, k:], z[:, :k]], axis=1)
+        dn = jnp.concatenate([z[:, -k:], m[:, :-k]], axis=1)
+    return m | up | dn
+
+
+@partial(jax.jit, static_argnames=('reach',))
+def box_mask_or(mask, reach=7):
+    """(2*reach+1)^2 sliding bitwise-OR dilation, separable log-doubling.
+
+    Conservative mask propagation for the warp: a destination pixel
+    inherits the OR of every source-mask pixel within ``reach`` =
+    window+SUPPORT of it — a strict superset of the per-tap significant-
+    weight OR (any pixel whose Lanczos weight is nonzero lies within
+    window+3). Costs ~12 shifted OR passes instead of 225 tap selects
+    (the exact per-tap mask OR was ~70% of the warp's 204 ms/quadrant;
+    tools/profile_stages.py r2)."""
+    out = mask
+    covered = 0
+    step = 1
+    while covered < reach:
+        k = min(step, reach - covered)
+        for axis in (0, 1):
+            out = _shift_or(out, k, axis)
+        covered += k
+        step = covered + 1  # window is now [-covered, covered]; next shift
+        # may move by up to covered+1 and stay gap-free
+    return out
 
 
 @partial(jax.jit, static_argnames=('window',))

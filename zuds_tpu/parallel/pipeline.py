@@ -24,11 +24,11 @@ from ..constants import (BAD_SUM, BKG_VAL, BKG_BOX_SIZE, DETECT_NSIGMA,
                          MASK_BIT_NODATA_ALIGN, MASK_BIT_NODATA_SUB,
                          SUB_NODATA_SENTINEL, BIG_RMS)
 from ..ops.resample import (upsample_mapping, warp_image_mask,
-                            warp_shift_image_mask)
+                            warp_shift_image_mask, box_mask_or)
 from ..ops.background import background_mesh
 from ..ops.detect import detect_sources
 from ..ops.photometry import aperture_photometry_batched
-from ..ops.subtract import fit_kernel, apply_kernel
+from ..ops.subtract import fit_kernel, apply_kernel, propagate_ref_var
 
 __all__ = ['PipelineConfig', 'make_subtract_detect_pipeline',
            'make_coadd_pipeline', 'prepare_frame_inputs']
@@ -58,7 +58,8 @@ class PipelineConfig:
     ref_rms_mesh: bool = False
 
 
-def make_subtract_detect_pipeline(cfg: PipelineConfig):
+def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
+                                  batch_axis='data'):
     """Build the jitted batched subtract+detect+photometer program.
 
     Input arrays all carry a leading batch dim B:
@@ -66,6 +67,12 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig):
       ref_mask (B,H,W) i32, grid_u/grid_v (B,GH,GW) f32 (ref->sci coarse
       mapping), stamp_x/stamp_y (B,S) f32, stamp_valid (B,S) bool,
       basis_gx/basis_gy (B,Nb,K), basis_sums (B,Nb), b0 (B,K,K).
+
+    With ``mesh``, the program is shard_mapped over ``batch_axis``: each
+    device sequentially processes its B/n_data local frames (the pipeline
+    is embarrassingly parallel over quadrants — the reference's MPI
+    file-list scatter, zuds/mpi.py:36-64, re-expressed as chip-mesh data
+    parallelism). B must divide evenly by the axis size.
 
     Returns dict of batched outputs: diff, rms, submask, detections
     (fixed max_det rows per frame), aperture photometry at detections.
@@ -75,8 +82,15 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig):
     def one_frame(sci, sci_mask, ref, ref_mask, gu, gv, sx, sy, sv,
                   bgx, bgy, bsums, b0):
         u, v = upsample_mapping(gu, gv, (H, W), cfg.map_step)
-        refw, refm, cov = warp_shift_image_mask(
+        # pixel warp: exact Lanczos-3 shift-accumulate; the unused per-tap
+        # mask output is DCE'd by XLA (it was ~70% of the warp cost).
+        # mask warp: conservative box OR over the full displacement+support
+        # reach — a strict superset of the per-tap significant-weight OR.
+        refw, _, cov = warp_shift_image_mask(
             ref, ref_mask.astype(jnp.uint32), u, v, window=cfg.max_shift)
+        refm = box_mask_or(ref_mask.astype(jnp.uint32),
+                           reach=cfg.max_shift + 3)
+        refm = jnp.where(cov > 0, refm, jnp.uint32(0))
         submask = sci_mask.astype(jnp.uint32) | refm
         submask = submask | jnp.where(cov == 0,
                                       jnp.uint32(1 << MASK_BIT_NODATA_ALIGN),
@@ -109,9 +123,13 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig):
         model = apply_kernel(refw, fit['coeffs'], bgx, bgy, bsums, b0,
                              order=cfg.order, nreg=cfg.nreg)
         diff = scimbkg - model
-        # diff noise: sum in quadrature (kernel-squared propagation happens
-        # in the unbatched path; the batched path favors the cheap bound)
-        rms_out = jnp.sqrt(rms ** 2 + ref_rms ** 2)
+        # diff noise: sci variance + conv(ref variance, K_r^2) with the
+        # per-region center kernels (hotpants -oni semantics; same math as
+        # the unbatched subtract_frames path)
+        ref_var_m = propagate_ref_var(ref_rms, fit['coeffs'], bgx, bgy,
+                                      bsums, b0, order=cfg.order,
+                                      nreg=cfg.nreg)
+        rms_out = jnp.sqrt(rms ** 2 + ref_var_m)
         rms_out = jnp.where(bad, BIG_RMS, rms_out)
         diff = jnp.where(bad, SUB_NODATA_SENTINEL, diff)
         submask = submask | jnp.where(
@@ -136,7 +154,20 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig):
             'kernel_coeffs': fit['coeffs'],
         }
 
-    batched = jax.vmap(one_frame)
+    # sequential scan over the batch, NOT vmap: each frame is already 9.4M
+    # pixels of parallel work, and vmapping the stamp/candidate
+    # dynamic-slice stages turns them into full-frame gathers (measured
+    # +690 ms/frame at quadrant scale, tools/profile_stages.py r2)
+    def batched(*args):
+        return jax.lax.map(lambda a: one_frame(*a), args)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        spec = P(batch_axis)
+        batched = shard_map(batched, mesh=mesh, in_specs=spec,
+                            out_specs=spec, check_rep=False)
+
     return jax.jit(batched)
 
 

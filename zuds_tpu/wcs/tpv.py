@@ -197,17 +197,21 @@ class TPVWCS:
         xit, etat = self._distort(xi, eta)
         return _tan_deproject(xit, etat, self.crval[0], self.crval[1])
 
-    def sky2pix(self, ra, dec, iters=5):
+    def sky2pix(self, ra, dec, iters=8):
         """(ra, dec) in degrees -> FITS 1-based pixel coords.
 
-        The TPV polynomial is inverted with Newton iterations (analytic
-        jacobian); ZTF-scale distortions converge to <1e-10 px in <=5 steps.
+        The TPV polynomial is inverted with step-clamped Newton iterations
+        (analytic jacobian); ZTF-scale distortions converge to <1e-10 px in
+        <=5 steps, and the clamp (0.1 deg/step, ~field scale) keeps points
+        where an unclamped Newton overshoots a cubic's turning point from
+        diverging.
         """
         xi_t, eta_t = _tan_project(ra, dec, self.crval[0], self.crval[1])
         a1 = self.pv1[1] if self.pv1[1] != 0 else 1.0
         b1 = self.pv2[1] if self.pv2[1] != 0 else 1.0
         xi = (xi_t - self.pv1[0]) / a1
         eta = (eta_t - self.pv2[0]) / b1
+        clamp = 0.1
         for _ in range(iters):
             fx = tpv_terms(xi, eta) @ self.pv1
             fy = tpv_terms(eta, xi) @ self.pv2
@@ -221,8 +225,8 @@ class TPVWCS:
             det = np.where(np.abs(det) < 1e-300, 1.0, det)
             rx = fx - xi_t
             ry = fy - eta_t
-            xi = xi - (j22 * rx - j12 * ry) / det
-            eta = eta - (-j21 * rx + j11 * ry) / det
+            xi = xi - np.clip((j22 * rx - j12 * ry) / det, -clamp, clamp)
+            eta = eta - np.clip((-j21 * rx + j11 * ry) / det, -clamp, clamp)
         cdinv = np.linalg.inv(self.cd)
         dx = cdinv[0, 0] * xi + cdinv[0, 1] * eta
         dy = cdinv[1, 0] * xi + cdinv[1, 1] * eta
