@@ -14,7 +14,7 @@ import json
 import os
 import struct
 
-__all__ = ['write_avro', 'encode', 'SCHEMA_MAGIC']
+__all__ = ['write_avro', 'read_avro', 'encode', 'decode', 'SCHEMA_MAGIC']
 
 SCHEMA_MAGIC = b'Obj\x01'
 
@@ -135,6 +135,138 @@ def _matches(branch, datum, named):
     if btype == 'map':
         return isinstance(datum, dict)
     return True
+
+
+def _read_long(buf):
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError('truncated avro varint')
+        acc |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)          # un-zigzag
+
+
+def _read_bytes(buf):
+    n = _read_long(buf)
+    return buf.read(n)
+
+
+def decode(buf, schema, named=None):
+    """Decode one datum per ``schema`` from ``buf`` (inverse of encode)."""
+    if named is None:
+        named = {}
+    if isinstance(schema, dict) and schema.get('type') in ('record', 'enum',
+                                                           'fixed'):
+        named[schema['name']] = schema
+    if isinstance(schema, str) and schema in named:
+        schema = named[schema]
+
+    if isinstance(schema, list):                      # union
+        idx = _read_long(buf)
+        return decode(buf, schema[idx], named)
+
+    stype = schema['type'] if isinstance(schema, dict) else schema
+    if stype == 'null':
+        return None
+    if stype == 'boolean':
+        return buf.read(1) == b'\x01'
+    if stype in ('int', 'long'):
+        return _read_long(buf)
+    if stype == 'float':
+        return struct.unpack('<f', buf.read(4))[0]
+    if stype == 'double':
+        return struct.unpack('<d', buf.read(8))[0]
+    if stype == 'string':
+        return _read_bytes(buf).decode('utf-8')
+    if stype == 'bytes':
+        return _read_bytes(buf)
+    if stype == 'record':
+        return {f['name']: decode(buf, f['type'], named)
+                for f in schema['fields']}
+    if stype == 'array':
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                break
+            if n < 0:                       # block with byte-size prefix
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                out.append(decode(buf, schema['items'], named))
+        return out
+    if stype == 'map':
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(buf).decode('utf-8')
+                out[k] = decode(buf, schema['values'], named)
+        return out
+    if stype == 'enum':
+        return schema['symbols'][_read_long(buf)]
+    if stype == 'fixed':
+        return buf.read(schema['size'])
+    raise TypeError(f'unsupported avro type {stype!r}')
+
+
+def read_avro(path_or_buf):
+    """Read an Avro object container file -> (schema, records).
+
+    Null codec only (what write_avro and the reference's fastavro default
+    produce)."""
+    close = False
+    if isinstance(path_or_buf, (str, os.PathLike)):
+        f = open(path_or_buf, 'rb')
+        close = True
+    else:
+        f = path_or_buf
+    try:
+        if f.read(4) != SCHEMA_MAGIC:
+            raise ValueError('not an avro object container file')
+        meta = {}
+        while True:
+            n = _read_long(f)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(f)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(f).decode('utf-8')
+                meta[k] = _read_bytes(f)
+        codec = meta.get('avro.codec', b'null')
+        if codec not in (b'null', b''):
+            raise ValueError(f'unsupported avro codec {codec!r}')
+        schema = json.loads(meta['avro.schema'])
+        sync = f.read(16)
+        records = []
+        while True:
+            try:
+                count = _read_long(f)
+            except EOFError:
+                break
+            size = _read_long(f)
+            block = io.BytesIO(f.read(size))
+            named = {}
+            for _ in range(count):
+                records.append(decode(block, schema, named))
+            if f.read(16) != sync:
+                raise ValueError('avro sync marker mismatch')
+        return schema, records
+    finally:
+        if close:
+            f.close()
 
 
 def write_avro(path_or_buf, schema, records, sync=b'zudstpu_syncmark'):

@@ -18,7 +18,7 @@ from .constants import MATCH_RADIUS_DEG
 from .secrets import get_secret
 from .spatial import cone_where, angular_distance
 
-__all__ = ['xmatch', 'xmatch_dr8', 'xmatch_clu', 'ps1_info']
+__all__ = ['xmatch', 'xmatch_dr8', 'xmatch_clu', 'ps1_info', 'abmag']
 
 
 def _cone_rows(model, ra, dec, radius):
@@ -79,8 +79,23 @@ def _kowalski():
 
 
 def ps1_info(ra, dec, radius=30.0 / 3600.0):
-    """PS1 DR1 + star/galaxy score via Kowalski (reference:
-    zuds/crossmatch.py:85-186). Empty offline."""
+    """PS1 DR1 + star/galaxy score matches, sorted by separation
+    (reference: zuds/crossmatch.py:85-186, via Kowalski + sgscore tables).
+
+    The local ``external.PS1`` table is the offline equivalent; Kowalski
+    is attempted only when that finds nothing and credentials exist."""
+    from .external import PS1
+    out = []
+    for row in _cone_rows(PS1, ra, dec, radius):
+        out.append({
+            'objid': row.objid, 'sgscore': row.sgscore,
+            'gMeanPSFMag': row.gmag, 'rMeanPSFMag': row.rmag,
+            'iMeanPSFMag': row.imag, 'zMeanPSFMag': row.zmag,
+            'sep_arcsec': float(angular_distance(ra, dec, row.ra,
+                                                 row.dec) * 3600.0)})
+    if out:
+        out.sort(key=lambda d: d['sep_arcsec'])
+        return out
     k = _kowalski()
     if k is None:
         return []
@@ -97,17 +112,66 @@ def ps1_info(ra, dec, radius=30.0 / 3600.0):
         return []
 
 
-def xmatch(ra, dec):
-    """Aggregate enrichment dict for one position (reference:
-    zuds/crossmatch.py:386-412)."""
+def abmag(nanomaggies):
+    """LegacySurvey nanomaggy flux -> AB magnitude (None-safe)."""
+    if nanomaggies is None or not np.isfinite(nanomaggies) \
+            or nanomaggies <= 0:
+        return None
+    return float(22.5 - 2.5 * np.log10(nanomaggies))
+
+
+def xmatch(ra, dec, source_id=None):
+    """Aggregate enrichment dict for one position: the full ps*/ls*/name
+    candidate blocks of the alert schema (reference:
+    zuds/crossmatch.py:386-412). Keys absent from the local tables come
+    back None/'' — graceful offline degradation.
+    """
     out = {}
+
+    # PS1 blocks, 3 nearest (zuds/crossmatch.py:152-185 naming)
+    ps1 = ps1_info(ra, dec)
+    for i, m in enumerate(ps1[:3], start=1):
+        out[f'objectidps{i}'] = m.get('objid') or m.get('_id')
+        out[f'sgscore{i}'] = m.get('sgscore')
+        out[f'distpsnr{i}'] = m.get('sep_arcsec')
+        out[f'psgmag{i}'] = m.get('gMeanPSFMag')
+        out[f'psrmag{i}'] = m.get('rMeanPSFMag')
+        out[f'psimag{i}'] = m.get('iMeanPSFMag')
+        out[f'pszmag{i}'] = m.get('zMeanPSFMag')
+
+    # LegacySurvey DR8 blocks, 3 nearest (zuds/crossmatch.py:218-241)
     dr8 = xmatch_dr8(ra, dec)
-    if dr8:
-        best = dr8[0]
-        out['dr8_sep'] = best['sep_arcsec']
-        out['dr8_type'] = best.get('type')
-        out['dr8_zphot'] = best.get('z_phot_median')
-        out['dr8_zspec'] = best.get('z_spec')
+    for i, m in enumerate(dr8[:3], start=1):
+        out[f'lsobjectid{i}'] = m.get('objid')
+        out[f'lsdistnr{i}'] = m.get('sep_arcsec')
+        out[f'lstype{i}'] = m.get('type')
+        out[f'lsebv{i}'] = m.get('ebv')
+        out[f'lsg{i}'] = abmag(m.get('flux_g'))
+        out[f'lsr{i}'] = abmag(m.get('flux_r'))
+        out[f'lsz{i}'] = abmag(m.get('flux_z'))
+        out[f'lsw1_{i}'] = abmag(m.get('flux_w1'))
+        out[f'lsw2_{i}'] = abmag(m.get('flux_w2'))
+        out[f'lsw3_{i}'] = abmag(m.get('flux_w3'))
+        out[f'lsw4_{i}'] = abmag(m.get('flux_w4'))
+        out[f'lsgaiag{i}'] = m.get('gaia_phot_g_mean_mag')
+        out[f'lsgaiap{i}'] = m.get('parallax')
+        out[f'lszphotmean{i}'] = m.get('z_phot_mean')
+        out[f'lszphotmed{i}'] = m.get('z_phot_median')
+        out[f'lszphotstd{i}'] = m.get('z_phot_std')
+        out[f'lszphotl68{i}'] = m.get('z_phot_l68')
+        out[f'lszphotu68{i}'] = m.get('z_phot_u68')
+        out[f'lszphotl95{i}'] = m.get('z_phot_l95')
+        out[f'lszphotu95{i}'] = m.get('z_phot_u95')
+        out[f'lszspec{i}'] = m.get('z_spec')
+
+    # name services (network-gated; '' offline, comma-joined like the
+    # reference's ','.join over cone-search hits)
+    out['ztfname'] = ''
+    out['mqid'] = ''
+    out['tnsid'] = ''
+
+    # CLU convenience keys (repo extension; used by filters, not the
+    # broker schema)
     clu = xmatch_clu(ra, dec)
     if clu:
         best = clu[0]
@@ -115,10 +179,4 @@ def xmatch(ra, dec):
         out['clu_z'] = best.get('z')
         out['clu_distmpc'] = best.get('distmpc')
         out['clu_sep'] = best['sep_arcsec']
-    ps1 = ps1_info(ra, dec)
-    if ps1:
-        best = ps1[0]
-        out['sgscore1'] = best.get('sgscore')
-        out['distpsnr1'] = best.get('sep_arcsec')
-        out['srmag1'] = best.get('rMeanPSFMag')
     return out

@@ -1,14 +1,17 @@
 """External catalog records (reference: zuds/external.py).
 
 The reference maps the full LegacySurvey DR8 north/south (~150 cols) and CLU
-galaxy catalogs in postgres. Here the tables carry the columns the alert
-enrichment actually reads; bulk columns live in the JSON ``extra`` blob.
+galaxy catalogs in postgres, and enriches alerts with PS1+sgscore through
+Kowalski (``zuds/crossmatch.py:85-186``). Here the tables carry every
+column the alert enrichment reads (the full ls*/ps* candidate blocks); bulk
+DR8 columns live in the JSON ``extra`` blob. ``PS1`` is the local offline
+equivalent of the Kowalski PS1-DR1 + sgscore path.
 """
 from __future__ import annotations
 
 from .db.orm import Column, Model
 
-__all__ = ['DR8North', 'DR8South', 'CLU']
+__all__ = ['DR8North', 'DR8South', 'CLU', 'PS1']
 
 
 class _DR8Base(Model):
@@ -19,13 +22,23 @@ class _DR8Base(Model):
     objid = Column('INTEGER')
     brickid = Column('INTEGER')
     type = Column('TEXT')
+    ebv = Column('REAL')
     flux_g = Column('REAL')
     flux_r = Column('REAL')
     flux_z = Column('REAL')
     flux_w1 = Column('REAL')
+    flux_w2 = Column('REAL')
+    flux_w3 = Column('REAL')
+    flux_w4 = Column('REAL')
     gaia_phot_g_mean_mag = Column('REAL')
+    parallax = Column('REAL')
+    z_phot_mean = Column('REAL')
     z_phot_median = Column('REAL')
+    z_phot_std = Column('REAL')
+    z_phot_l68 = Column('REAL')
+    z_phot_u68 = Column('REAL')
     z_phot_l95 = Column('REAL')
+    z_phot_u95 = Column('REAL')
     z_spec = Column('REAL')
     extra = Column('TEXT')     # JSON of remaining DR8 columns
 
@@ -57,3 +70,20 @@ class CLU(Model):
     pa = Column('REAL')
     btc = Column('REAL')
     extra = Column('TEXT')
+
+
+class PS1(Model):
+    """PS1 DR1 sources + star/galaxy score — local offline equivalent of
+    the reference's Kowalski PS1_DR1 cone search + sgscore FITS table
+    lookup (zuds/crossmatch.py:85-186)."""
+
+    __tablename__ = 'ps1'
+
+    objid = Column('INTEGER', index=True)
+    ra = Column('REAL', index=True)
+    dec = Column('REAL', index=True)
+    sgscore = Column('REAL')
+    gmag = Column('REAL')
+    rmag = Column('REAL')
+    imag = Column('REAL')
+    zmag = Column('REAL')

@@ -16,34 +16,38 @@ from .secrets import get_secret
 
 __all__ = ['send_alert', 'combine_schemas', 'ALERT_SCHEMA']
 
-# Alert schema: same structural contract as the reference's nested avsc pair
-# (zuds/alert_schemas/*): top-level alert envelope + candidate record +
-# light-curve array + gzip-FITS cutouts.
+# Alert schema: same structural contract as the reference's nested avsc
+# trees (zuds/alert_schemas/schema_{single,stack}/): top-level alert
+# envelope (9 fields) + full 123/124-field candidate record + light-curve
+# array + gzip-FITS cutouts. The candidate field registry lives in
+# zuds_tpu/alert_fields.py.
+from .alert_fields import (CANDIDATE_FIELDS_SINGLE, CANDIDATE_FIELDS_STACK,
+                           candidate_fields)
+
 _NFLOAT = ['null', 'double']
 _NINT = ['null', 'long']
 _NSTR = ['null', 'string']
 
-CANDIDATE_FIELDS = [
-    ('jd', _NFLOAT), ('ra', _NFLOAT), ('dec', _NFLOAT), ('fid', _NINT),
-    ('magpsf', _NFLOAT), ('sigmapsf', _NFLOAT), ('fwhm', _NFLOAT),
-    ('elong', _NFLOAT), ('aimage', _NFLOAT), ('bimage', _NFLOAT),
-    ('flux', _NFLOAT), ('fluxerr', _NFLOAT), ('snr', _NFLOAT),
-    ('rb', _NFLOAT), ('rbversion', _NSTR), ('xpos', _NFLOAT),
-    ('ypos', _NFLOAT), ('flags_weight', _NINT), ('imaflags_iso', _NINT),
-    ('magzpsci', _NFLOAT), ('field', _NINT), ('programid', _NINT),
-]
+# kept for back-compat imports; the single-stream registry is canonical
+CANDIDATE_FIELDS = CANDIDATE_FIELDS_SINGLE
 
 
 def _record(name, fields):
-    return {'type': 'record', 'name': name,
-            'fields': [{'name': n, 'type': t, 'default': None}
-                       for n, t in fields]}
+    out = []
+    for n, t in fields:
+        f = {'name': n, 'type': t}
+        if isinstance(t, list) and 'null' in t:
+            f['default'] = None
+        out.append(f)
+    return {'type': 'record', 'name': name, 'fields': out}
 
 
-def combine_schemas(schema_files=None):
-    """Assemble the nested alert schema (reference zuds/send.py:20-41 reads
-    avsc files; here the schema is built programmatically)."""
-    candidate = _record('candidate', CANDIDATE_FIELDS)
+def combine_schemas(schema_files=None, alert_type='single'):
+    """Assemble the nested alert schema for one stream (reference
+    zuds/send.py:20-41 reads + combines avsc files; here the schema is
+    built programmatically from the field registry)."""
+    candidate = _record(f'candidate_{alert_type}',
+                        candidate_fields(alert_type))
     prv = _record('prv_candidate', [
         ('jd', _NFLOAT), ('ra', _NFLOAT), ('dec', _NFLOAT),
         ('flux', _NFLOAT), ('fluxerr', _NFLOAT), ('rb', _NFLOAT),
@@ -54,6 +58,8 @@ def combine_schemas(schema_files=None):
     return {
         'type': 'record', 'name': 'alert', 'namespace': 'zuds_tpu',
         'fields': [
+            {'name': 'schemavsn', 'type': _NSTR, 'default': None},
+            {'name': 'publisher', 'type': _NSTR, 'default': None},
             {'name': 'objectId', 'type': _NSTR, 'default': None},
             {'name': 'candid', 'type': _NINT, 'default': None},
             {'name': 'candidate', 'type': candidate},
@@ -74,22 +80,32 @@ def combine_schemas(schema_files=None):
 
 
 ALERT_SCHEMA = combine_schemas()
+ALERT_SCHEMA_STACK = combine_schemas(alert_type='stack')
 
 
 def alert_to_record(alert):
+    """(record, schema) pair for one Alert, stream chosen from the
+    candidate's alert_type."""
+    from .alert_fields import candidate_defaults
     payload = alert.payload or {}
     cand = payload.get('candidate', {})
+    atype = cand.get('alert_type') or 'single'
+    base = candidate_defaults(atype)
+    base.update({k: cand[k] for k in base if k in cand})
     record = {
+        'schemavsn': '0.4',
+        'publisher': 'ZUDS-TPU',
         'objectId': payload.get('objectId'),
         'candid': payload.get('candid'),
-        'candidate': {n: cand.get(n) for n, _ in CANDIDATE_FIELDS},
+        'candidate': base,
         'prv_candidates': payload.get('prv_candidates'),
         'light_curve': payload.get('light_curve'),
         'cutoutScience': alert.cutout_science,
         'cutoutTemplate': alert.cutout_template,
         'cutoutDifference': alert.cutout_difference,
     }
-    return record
+    schema = ALERT_SCHEMA_STACK if atype == 'stack' else ALERT_SCHEMA
+    return record, schema
 
 
 def send_alert(alert, stack=False):
@@ -100,8 +116,9 @@ def send_alert(alert, stack=False):
     packet is spooled to ``<base_data_directory>/alerts/<topic>/``.
     """
     date = datetime.datetime.utcnow().strftime('%Y%m%d')
+    record, schema = alert_to_record(alert)
+    stack = stack or record['candidate'].get('alert_type') == 'stack'
     topic = f'ztf_{date}_programid2_zuds' + ('_stack' if stack else '')
-    record = alert_to_record(alert)
 
     try:
         from confluent_kafka import Producer  # pragma: no cover
@@ -111,7 +128,7 @@ def send_alert(alert, stack=False):
     if Producer is not None and get_secret('kafka_brokers'):
         import io
         buf = io.BytesIO()
-        write_avro(buf, ALERT_SCHEMA, [record])
+        write_avro(buf, schema, [record])
         p = Producer({'bootstrap.servers': get_secret('kafka_brokers')})
         p.produce(topic=topic, value=buf.getvalue())
         p.flush()
@@ -122,7 +139,7 @@ def send_alert(alert, stack=False):
             'alerts', topic)
         os.makedirs(spool, exist_ok=True)
         path = os.path.join(spool, f'{record["candid"] or "alert"}.avro')
-        write_avro(path, ALERT_SCHEMA, [record])
+        write_avro(path, schema, [record])
 
     alert.sent = 1
     from .core import DBSession
