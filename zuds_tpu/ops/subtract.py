@@ -302,22 +302,14 @@ def _basis_layout(degrees):
     return meta, cols, col_rep
 
 
-@partial(jax.jit, static_argnames=('order', 'nreg', 'degrees'))
+@partial(jax.jit, static_argnames=('order', 'nreg'))
 def apply_kernel(ref, coeffs, basis_gx, basis_gy, basis_sums, b0_2d,
-                 order=KERNEL_SPATIAL_ORDER, nreg=NREG_SIDE,
-                 degrees=KERNEL_GAUSS_DEGREES):
+                 order=KERNEL_SPATIAL_ORDER, nreg=NREG_SIDE):
     """Convolve ``ref`` with the fitted spatially-varying kernel + background.
 
     Returns the model frame  sum_nm a_nm(region) T_m(x,y) (B_n * R) + bg.
-
-    TPU structure: the Nb separable basis functions share only
-    sum(deg+1) = ~15 distinct 1-D column factors g_sigma(u)(u/sigma)^p, so
-    the model is ONE column conv producing Ncol fields followed by ONE dense
-    Ncol -> Nm row conv per static region (row kernels pre-combined from the
-    coefficients in basis space). This runs on the MXU; the previous
-    formulation (Nb-channel grouped separable convs + basis-space matmuls)
-    streamed a 49-frame intermediate through HBM and cost ~80 ms/quadrant
-    (tools/profile_stages.py r2).
+    Memory-bounded: accumulates over basis functions with a scan; the 3x3
+    regions share every convolution and differ only in coefficient fields.
     """
     H, W = ref.shape
     Nb, K = basis_gx.shape
@@ -327,16 +319,21 @@ def apply_kernel(ref, coeffs, basis_gx, basis_gy, basis_sums, b0_2d,
     a = coeffs[:, :Nb * Nm].reshape(R2, Nb, Nm)
     bg = coeffs[:, -1]
 
-    meta, cols, col_rep = _basis_layout(degrees)
-    assert len(meta) == Nb, (len(meta), Nb)
-    Ncol = len(cols)
-    col_of = {c: i for i, c in enumerate(cols)}
-
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    rx = jnp.clip((xx * nreg / W).astype(jnp.int32), 0, nreg - 1)
+    ry = jnp.clip((yy * nreg / H).astype(jnp.int32), 0, nreg - 1)
+    rid = (ry * nreg + rx)                                       # (H, W)
     # region-local normalized coordinates (must match fit_kernel)
     wx = W / (2.0 * nreg)
     wy = H / (2.0 * nreg)
+    cx = (rx.astype(jnp.float32) + 0.5) * W / nreg
+    cy = (ry.astype(jnp.float32) + 0.5) * H / nreg
+    xn = (xx - cx) / wx
+    yn = (yy - cy) / wy
+
+    pexp = jnp.asarray([p for p, q in terms], jnp.int32)
+    qexp = jnp.asarray([q for p, q in terms], jnp.int32)
 
     # Fold the basis sum-normalization into COEFFICIENT space so the convs
     # run on the raw separable basis:
@@ -353,45 +350,49 @@ def apply_kernel(ref, coeffs, basis_gx, basis_gy, basis_sums, b0_2d,
     y_edges = [int(math.ceil(r * H / nreg)) for r in range(nreg)] + [H]
     x_edges = [int(math.ceil(r * W / nreg)) for r in range(nreg)] + [W]
 
+    # TPU conv discipline: raw basis convolutions as chunked grouped
+    # separable convs (a python loop of single-channel 1-D convs costs
+    # ~145x more on v5e); combination over the basis dimension is a small
+    # matmul per static region slice — zero mask fields.
     hi = jax.lax.Precision.HIGHEST
     pad = (K // 2, (K - 1) // 2)
+    CHUNK = 49
+    x = ref[None, None]                                      # (1,1,H,W)
+    # per-region spatial-term accumulators E_r: (Nm, h_r, w_r)
+    E = [[None for _ in range(nreg)] for _ in range(nreg)]
+    for c0 in range(0, Nb, CHUNK):
+        c1 = min(c0 + CHUNK, Nb)
+        nch = c1 - c0
+        kr = basis_gy[c0:c1, None, :, None]                  # (nch,1,K,1)
+        kc = basis_gx[c0:c1, None, None, :]
+        t = jax.lax.conv_general_dilated(
+            x, kr, (1, 1), [pad, (0, 0)],
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'), precision=hi)
+        t = jax.lax.conv_general_dilated(
+            t, kc, (1, 1), [(0, 0), pad],
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+            feature_group_count=nch, precision=hi)[0]        # (nch,H,W)
+        for ri in range(nreg):
+            for rj in range(nreg):
+                r = ri * nreg + rj
+                sl = (slice(None), slice(y_edges[ri], y_edges[ri + 1]),
+                      slice(x_edges[rj], x_edges[rj + 1]))
+                part = _einsum_hi('nhw,nm->mhw', t[sl], a_t[r, c0:c1, :])
+                E[ri][rj] = part if E[ri][rj] is None else E[ri][rj] + part
 
-    # pass 1: unique column factors, one dense 1 -> Ncol conv along x
-    gxu = basis_gx[jnp.asarray([col_rep[c] for c in cols])]      # (Ncol, K)
-    kc = gxu[:, None, None, :]                                   # OIHW
-    t = jax.lax.conv_general_dilated(
-        ref[None, None], kc, (1, 1), [(0, 0), pad],
-        dimension_numbers=('NCHW', 'OIHW', 'NCHW'), precision=hi)
-    # pad rows once so per-region slices can run 'valid' row convs
-    t = jnp.pad(t, ((0, 0), (0, 0), pad, (0, 0)))                # (1,Ncol,H+K-1,W)
-
-    # pre-combine row kernels: Krow[r, m, ci, k] = sum_q a~[r,(si,p,q),m]
-    # gy_(si,q)[k] for (si,p) = cols[ci]  (selector S is static 0/1)
-    S = np.zeros((Nb, Ncol), dtype=np.float32)
-    for n, (si, p, q) in enumerate(meta):
-        S[n, col_of[(si, p)]] = 1.0
-    Krow = _einsum_hi('rnm,nc,nk->rmck', a_t, jnp.asarray(S), basis_gy)
-
+    # assemble: model[region] = sum_m T_m(local coords) * E_r[m] + bg_r
     rows = []
     for ri in range(nreg):
         row = []
-        y0, y1 = y_edges[ri], y_edges[ri + 1]
         for rj in range(nreg):
             r = ri * nreg + rj
-            x0, x1 = x_edges[rj], x_edges[rj + 1]
-            sl = t[:, :, y0:y1 + K - 1, x0:x1]
-            kr = Krow[r][:, :, :, None]                          # (Nm,Ncol,K,1)
-            E = jax.lax.conv_general_dilated(
-                sl, kr, (1, 1), [(0, 0), (0, 0)],
-                dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
-                precision=hi)[0]                                 # (Nm,h_r,w_r)
-            ys = yy[y0:y1]
-            xs_ = xx[:, x0:x1]
+            ys = yy[y_edges[ri]:y_edges[ri + 1]]
+            xs_ = xx[:, x_edges[rj]:x_edges[rj + 1]]
             xn_l = (xs_ - (rj + 0.5) * W / nreg) / wx
             yn_l = (ys - (ri + 0.5) * H / nreg) / wy
-            m_r = jnp.zeros_like(E[0]) + bg[r]
+            m_r = jnp.zeros_like(E[ri][rj][0]) + bg[r]
             for m, (p, q) in enumerate(terms):
-                m_r = m_r + (xn_l ** p) * (yn_l ** q) * E[m]
+                m_r = m_r + (xn_l ** p) * (yn_l ** q) * E[ri][rj][m]
             row.append(m_r)
         rows.append(jnp.concatenate(row, axis=1))
     return jnp.concatenate(rows, axis=0)
