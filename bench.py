@@ -32,10 +32,16 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     H, W = 3080, 3072
-    # smax: ~28 stamps per 3x3 region keeps the 295-unknown per-region A&L
-    # fit well determined (hotpants runs ~100 substamps/region)
-    cfg = PipelineConfig(height=H, width=W, ksize=15, stamp=41, smax=256,
-                         order=2, nreg=3, max_det=1024)
+    # PARITY configuration: kernel spatial order 4 over 3x3 regions — the
+    # reference's hotpants invocation (-ko 4 -nrx 3 -nry 3,
+    # zuds/hotpants.py:83-88) and this repo's own KERNEL_SPATIAL_ORDER
+    # default. smax=384 gives ~42 stamps/region; each 41px stamp
+    # contributes 729 valid-conv pixel rows, so the 736-unknown per-region
+    # fit is strongly overdetermined (hotpants uses ~100 smaller substamps
+    # per region).
+    from zuds_tpu.constants import KERNEL_SPATIAL_ORDER
+    cfg = PipelineConfig(height=H, width=W, ksize=15, stamp=41, smax=384,
+                         order=KERNEL_SPATIAL_ORDER, nreg=3, max_det=1024)
 
     pipe = make_subtract_detect_pipeline(cfg)
 
@@ -61,7 +67,7 @@ def main():
     baseline = 1.1  # reference quadrants/sec/node (BASELINE.md)
     result = {
         'metric': 'ZTF quadrants/sec/chip, full align+subtract+detect+phot '
-                  'chain (3080x3072, A&L 3x3 regions order 2)',
+                  'chain (3080x3072, A&L 3x3 regions order 4)',
         'value': round(qps, 3),
         'unit': 'quadrants/sec/chip',
         'vs_baseline': round(qps / baseline, 2),

@@ -18,12 +18,21 @@ if 'xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# synchronous dispatch on the CPU backend: async dispatch intermittently
+# segfaults when shard_map programs over the 8 virtual devices run late in
+# the suite (observed in jax 0.9.0; cost is negligible at test scale)
+try:
+    jax.config.update('jax_cpu_enable_async_dispatch', False)
+except AttributeError:
+    pass
 # keep test config away from the user's real one
 os.environ.setdefault('ZUDS_CONFIG', '/tmp/zuds-tpu-test-config.yaml')
-# persistent XLA compile cache: op compiles dominate suite wall-clock
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/zuds-tpu-jax-cache')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
+# persistent XLA compile cache: op compiles dominate suite wall-clock.
+# jax is pre-imported by the environment's sitecustomize, so env vars are
+# too late — set through jax.config (same reason as jax_platforms above).
+jax.config.update('jax_compilation_cache_dir', '/tmp/zuds-tpu-jax-cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 import numpy as np
 import pytest

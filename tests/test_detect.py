@@ -178,3 +178,57 @@ def test_deblend_keeps_faint_bump(rng):
     valid = np.array(out['valid'])
     xs = np.array(out['x'])[valid]
     assert len(xs[(xs > 55) & (xs < 80)]) == 1
+
+
+def test_deblend_exact_triple(rng):
+    """Blended triple: the 32-level tree separates all three objects
+    (VERDICT r1 item 5 crowded-field fixture)."""
+    H, W = 128, 128
+    img = rng.normal(0, 1.0, (H, W)).astype('f4')
+    yy, xx = np.mgrid[0:H, 0:W]
+    truth = [(50.0, 64.0, 40000.0), (58.0, 60.0, 25000.0),
+             (64.0, 68.0, 15000.0)]
+    for (x0, y0, f) in truth:
+        img += (f / (2 * np.pi * 4) * np.exp(
+            -((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * 4.0))).astype('f4')
+    rms = np.ones((H, W), dtype='f4')
+    out = detect_sources(jnp.array(img), jnp.array(rms), max_det=64)
+    valid = np.array(out['valid'])
+    xs = np.array(out['x'])[valid]
+    ys = np.array(out['y'])[valid]
+    near = [(np.hypot(xs - x0, ys - y0) < 2.0).sum() for x0, y0, _ in truth]
+    assert near == [1, 1, 1], (xs, ys)
+
+
+def test_clean_removes_wing_spike(rng):
+    """A marginal detection just outside a bright star's isophote is
+    cleaned (Moffat-wing model); an identical isolated source far from
+    the star survives."""
+    H, W = 128, 128
+    img = rng.normal(0, 0.3, (H, W)).astype('f4')
+    yy, xx = np.mgrid[0:H, 0:W]
+    # bright broad star: isophotal radius ~22.6 px at the 1.5 threshold
+    img += (400000.0 / (2 * np.pi * 36) * np.exp(
+        -((xx - 64) ** 2 + (yy - 64) ** 2) / (2 * 36.0))).astype('f4')
+    # marginal bump just past the isophote edge (d=30 from center)
+    bump = 3.0 * 2 * np.pi * 2.25
+    img += (bump / (2 * np.pi * 2.25) * np.exp(
+        -((xx - 94) ** 2 + (yy - 64) ** 2) / (2 * 2.25))).astype('f4')
+    # identical bump far away on blank sky
+    img += (bump / (2 * np.pi * 2.25) * np.exp(
+        -((xx - 20) ** 2 + (yy - 110) ** 2) / (2 * 2.25))).astype('f4')
+    rms = np.ones((H, W), dtype='f4')
+    out = detect_sources(jnp.array(img), jnp.array(rms), max_det=64)
+    valid = np.array(out['valid'])
+    xs = np.array(out['x'])[valid]
+    ys = np.array(out['y'])[valid]
+    # isolated bump survives
+    assert ((np.hypot(xs - 20, ys - 110) < 3.0).sum()) == 1
+    # wing bump cleaned into the star
+    assert (np.hypot(xs - 94, ys - 64) < 3.0).sum() == 0
+    out2 = detect_sources(jnp.array(img), jnp.array(rms), max_det=64,
+                          clean=False)
+    v2 = np.array(out2['valid'])
+    xs2 = np.array(out2['x'])[v2]
+    ys2 = np.array(out2['y'])[v2]
+    assert (np.hypot(xs2 - 94, ys2 - 64) < 3.0).sum() >= 1

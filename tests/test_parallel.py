@@ -1,6 +1,23 @@
 """Sharded batched-pipeline tests on the virtual 8-device CPU mesh."""
+import os
+import sys
+
+if __name__ == '__main__':
+    # run as a subprocess: mirror the conftest environment bootstrap
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    _flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in _flags:
+        os.environ['XLA_FLAGS'] = (
+            _flags + ' --xla_force_host_platform_device_count=8').strip()
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 import numpy as np
 import jax
+
+if __name__ == '__main__':
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_compilation_cache_dir', '/tmp/zuds-tpu-jax-cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
 import jax.numpy as jnp
 import pytest
 
@@ -68,7 +85,7 @@ def synth_batch(rng, B):
     }, (tx, ty)
 
 
-def test_batched_pipeline_sharded(rng):
+def _run_sharded_pipeline(rng):
     assert len(jax.devices()) == 8
     B = 8
     inputs, (tx, ty) = synth_batch(rng, B)
@@ -83,23 +100,43 @@ def test_batched_pipeline_sharded(rng):
         # sequentially — the production multi-chip form
         pipe = make_subtract_detect_pipeline(CFG, mesh=mesh)
         out = pipe(*sharded)
-        out['diff'].block_until_ready()
+        # sync the whole tree before touching shards: the CPU backend
+        # intermittently segfaults converting a still-async shard_map
+        # output shard-by-shard
+        out = jax.block_until_ready(out)
+        # outputs keep the batch sharding over 'data'
+        shard_devs = {s.device for s in out['diff'].addressable_shards}
+        assert len(shard_devs) == 8
+        host = jax.device_get(out)
 
-    diff = np.array(out['diff'])
+    diff = np.array(host['diff'])
     assert diff.shape == (B, 256, 256)
     # every frame: transient recovered, stars cancelled
     for b in range(B):
         inner = diff[b, 32:-32, 32:-32]
         sig = 1.4826 * np.median(np.abs(inner - np.median(inner)))
         assert sig < 8.0, b
-        xs = np.array(out['det_x'][b])
-        ys = np.array(out['det_y'][b])
-        valid = np.array(out['det_valid'][b])
+        xs = np.array(host['det_x'][b])
+        ys = np.array(host['det_y'][b])
+        valid = np.array(host['det_valid'][b])
         d = np.hypot(xs[valid] - tx, ys[valid] - ty)
         assert d.min() < 1.0, b
-    # outputs keep the batch sharding over 'data'
-    shard_devs = {s.device for s in out['diff'].addressable_shards}
-    assert len(shard_devs) == 8
+
+
+def test_batched_pipeline_sharded():
+    """Runs the shard_map pipeline in a FRESH subprocess: XLA:CPU
+    (jax 0.9.0) segfaults executing a large shard_map program in a process
+    that has built other executables first (reproduced minimally:
+    any prior jit compile + this pipeline -> crash in block_until_ready;
+    alone it passes 100%). The child exercises the identical code path."""
+    import subprocess
+    import sys
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=dict(os.environ), timeout=900,
+        capture_output=True, text=True)
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert 'SHARDED PIPELINE OK' in proc.stdout
 
 
 def test_coadd_pipeline(rng):
@@ -123,3 +160,8 @@ def test_coadd_pipeline(rng):
     inner = np.s_[16:-16, 16:-16]
     np.testing.assert_allclose(coadd[inner], base[inner], atol=2.5)
     assert np.array(out['nexp'])[inner].min() == B
+
+
+if __name__ == '__main__':
+    _run_sharded_pipeline(np.random.default_rng(8675309))
+    print('SHARDED PIPELINE OK')

@@ -17,6 +17,7 @@ DETECT_NSIGMA = 1.5                 # detection threshold in filtered sigma
 DETECT_NPIX = 5                     # min connected pixels above threshold
 DEBLEND_NTHRESH = 32                # multi-threshold deblending levels
 DEBLEND_MINCONT = 0.005             # min deblending contrast
+CLEAN_PARAM = 1.0                   # CLEAN pass efficiency (sextractor.conf)
 MAX_DETECTIONS = 16384              # fixed-capacity detection buffer per frame
 CCL_MAX_ITERS = 64                  # label-propagation sweeps for labeling
 

@@ -18,12 +18,16 @@ TPU design notes
 * Per-component statistics are ``segment_sum``s into fixed-capacity buffers
   of MAX_DETECTIONS rows (ragged outputs become masked fixed-shape tensors).
 
-Deblending: steepest-ascent watershed cells with SExtractor's
-DEBLEND_MINCONT contrast rule — each detected pixel ascends to its local
-peak of the filtered image; a cell splits off as its own object when its
-flux exceeds DEBLEND_MINCONT x the parent component's flux (the 32-level
-multi-threshold tree is approximated by these cells; saddle-level flux
-partitioning is the remaining refinement).
+Deblending (default): SExtractor's exact DEBLEND_NTHRESH=32-level
+exponential re-threshold tree with the DEBLEND_MINCONT flux rule and the
+>=2-significant-siblings split condition, run entirely on the compacted
+pixel list; sub-saddle pixels are apportioned by steepest ascent to their
+peak (deterministic stand-in for SExtractor's bivariate-Gaussian
+probabilistic assignment — object counts match the reference tree).
+A CLEAN pass (CLEAN_PARAM semantics) then removes detections that owe
+their peak to neighbors' Gaussian wings, merging them into the dominant
+contributor. ``deblend='watershed'`` selects the cheaper r1
+ascent-cell approximation.
 """
 from __future__ import annotations
 
@@ -109,21 +113,10 @@ def label_components(det, max_rounds=32, sweeps=8, hops=1):
     return labels
 
 
-def _label_compact(pidx, pok, shape, max_rounds=12):
-    """8-connected labeling on the COMPACTED detected-pixel list.
-
-    Classic hook+compress connected components, but every operand is a
-    (cap,)-sized array: neighbor adjacency comes from ``searchsorted`` over
-    the sorted flat indices, hooking takes the min label over the 8
-    neighbors, and path compression jumps ``l <- min(l, l[pos(l)])``.
-    Returns the component-min flat index per compact pixel.
-
-    TPU cost model: the full-frame variant (min-pool sweeps + full-frame
-    pointer hops) costs ~370 ms/quadrant because each hop is a 9.4M-px
-    gather; here every gather is over the 65k-entry compact list (~µs), so
-    labeling converges in O(log diameter) rounds at ~1 ms/round
-    (tools/profile_stages.py r2).
-    """
+def _compact_adjacency(pidx, pok, shape):
+    """8-neighbor adjacency of the compacted pixel list: for each entry,
+    the compact positions of its neighbors (via searchsorted over the
+    sorted flat indices) and their validity."""
     H, W = shape
     cap = pidx.shape[0]
     x = pidx % W
@@ -142,33 +135,150 @@ def _label_compact(pidx, pok, shape, max_rounds=12):
         ok = ok & (pidx[pos] == tgt) & pok[pos]
         nbr_pos.append(pos)
         nbr_ok.append(ok)
-    nbr_pos = jnp.stack(nbr_pos)
-    nbr_ok = jnp.stack(nbr_ok)
+    return jnp.stack(nbr_pos), jnp.stack(nbr_ok)
 
+
+def _make_pos_of(pidx):
     last = pidx[-1]
+    cap = pidx.shape[0]
 
     def pos_of(lbl):
         p = jnp.searchsorted(pidx, jnp.minimum(lbl, last)).astype(jnp.int32)
         return jnp.clip(p, 0, cap - 1)
 
-    l0 = jnp.where(pok, pidx, INT_MAX)
+    return pos_of
 
-    # fixed trip count (no data-dependent while_loop): hook+compress is
-    # O(log diameter) — ``max_rounds`` rounds of 8 compressions cover any
-    # realistic footprint, and each round is ~1 ms of compact-list work
+
+def _label_masked(pidx, active, nbr_pos, nbr_ok, pos_of, rounds=12):
+    """Hook+compress connected components over ``active`` compact pixels.
+
+    Labels live in POSITION space (the compact index of the component-min
+    pixel — positions are monotone in flat index since pidx is sorted, so
+    min-position == min-flat-index): path compression is then a single
+    take ``l[l]`` with no searchsorted in the loop. ``active`` may be
+    (cap,) for one labeling or (L, cap) for L independent levels labeled
+    concurrently (the multi-threshold deblend batches all its levels into
+    one run — 31 sequential labelings cost ~28 s/quadrant on v5e, the
+    batched form ~10 ms). Returns component-min flat indices (INT_MAX on
+    inactive pixels), same shape as ``active``.
+    """
+    cap = pidx.shape[0]
+    squeeze = active.ndim == 1
+    act = active[None] if squeeze else active               # (L, cap)
+    L = act.shape[0]
+    posidx = jnp.arange(cap, dtype=jnp.int32)
+    # inactive pixels self-loop; hooks treat them as "no candidate"
+    l0 = jnp.broadcast_to(posidx[None], (L, cap))
+    ok = jnp.stack([nbr_ok[k][None] & act
+                    & jnp.take(act, nbr_pos[k], axis=1)
+                    for k in range(8)])                      # (8, L, cap)
+
     def body(_, l):
         ln = l
         for k in range(8):
-            ln = jnp.minimum(ln, jnp.where(nbr_ok[k], l[nbr_pos[k]],
-                                           INT_MAX))
+            cand = jnp.take(l, nbr_pos[k], axis=1)
+            ln = jnp.minimum(ln, jnp.where(ok[k], cand, l))
 
         def compress(_, lc):
-            return jnp.minimum(lc, lc[pos_of(lc)])
+            return jnp.minimum(lc, jnp.take_along_axis(lc, lc, axis=1))
 
-        ln = jax.lax.fori_loop(0, 8, compress, ln)
-        return jnp.where(pok, ln, INT_MAX)
+        return jax.lax.fori_loop(0, 8, compress, ln)
 
-    return jax.lax.fori_loop(0, max_rounds, body, l0)
+    l = jax.lax.fori_loop(0, rounds, body, l0)
+    out = jnp.where(act, pidx[l], INT_MAX)
+    return out[0] if squeeze else out
+
+
+def _label_compact(pidx, pok, shape, max_rounds=12):
+    """8-connected labeling on the COMPACTED detected-pixel list.
+
+    Classic hook+compress connected components, but every operand is a
+    (cap,)-sized array: neighbor adjacency comes from ``searchsorted`` over
+    the sorted flat indices, hooking takes the min label over the 8
+    neighbors, and path compression jumps ``l <- min(l, l[pos(l)])``.
+    Returns the component-min flat index per compact pixel.
+
+    TPU cost model: the full-frame variant (min-pool sweeps + full-frame
+    pointer hops) costs ~370 ms/quadrant because each hop is a 9.4M-px
+    gather; here every gather is over the 65k-entry compact list (~µs), so
+    labeling converges in O(log diameter) rounds at ~1 ms/round
+    (tools/profile_stages.py r2).
+    """
+    nbr_pos, nbr_ok = _compact_adjacency(pidx, pok, shape)
+    return _label_masked(pidx, pok, nbr_pos, nbr_ok, _make_pos_of(pidx),
+                         rounds=max_rounds)
+
+
+def _deblend_exact(pidx, pok, shape, lab_c, filt_c, pos_flux_c, thresh_c,
+                   nbr_pos, nbr_ok, pos_of, nlevels, mincont):
+    """SExtractor multi-threshold deblending tree on the compact list.
+
+    Re-thresholds every base component at ``nlevels`` exponentially spaced
+    levels between its detection threshold and its filtered peak
+    (DEBLEND_NTHRESH semantics, sextractor.conf:11-14 / deblend.c). A
+    branch at level l splits off when its integrated positive flux exceeds
+    ``mincont`` x the base component's flux and its parent component at
+    level l-1 has >= 2 such children (no per-branch area gate — SExtractor
+    applies DETECT_MINAREA at initial extraction only and relies on the
+    CLEAN pass to kill wing noise spikes). Returns, per compact pixel, the
+    root flat index of the DEEPEST split branch containing it (base
+    component root when never split).
+
+    All ``nlevels - 1`` level labelings run CONCURRENTLY as one batched
+    position-space hook+compress (see _label_masked) — the level axis is
+    pure data parallelism, so the tree costs one labeling pass regardless
+    of DEBLEND_NTHRESH.
+
+    Pixels below their branch's separation level are apportioned by the
+    caller via steepest ascent to their peak (deterministic stand-in for
+    SExtractor's bivariate-Gaussian probabilistic assignment — object
+    COUNTS match the reference tree exactly; sub-saddle pixel ownership is
+    the documented approximation).
+    """
+    cap = pidx.shape[0]
+    comppos = pos_of(lab_c)                                  # (cap,)
+    F0 = jax.ops.segment_sum(jnp.where(pok, pos_flux_c, 0.0), comppos,
+                             num_segments=cap)
+    big_neg = jnp.float32(-3e38)
+    peak = jax.ops.segment_max(jnp.where(pok, filt_c, big_neg), comppos,
+                               num_segments=cap)
+    t0 = -jax.ops.segment_max(jnp.where(pok, -thresh_c, big_neg), comppos,
+                              num_segments=cap)          # per-comp min thresh
+    peak_c = peak[comppos]
+    t0_c = jnp.maximum(t0[comppos], 1e-20)
+    ratio = jnp.maximum(peak_c / t0_c, 1.0)
+
+    L = nlevels - 1
+    fracs = (jnp.arange(1, nlevels, dtype=jnp.float32)
+             / nlevels)[:, None]                             # (L, 1)
+    t_l = t0_c[None] * ratio[None] ** fracs                  # (L, cap)
+    active = pok[None] & (filt_c[None] >= t_l)
+
+    lab_all = _label_masked(pidx, active, nbr_pos, nbr_ok, pos_of,
+                            rounds=12)                       # (L, cap) flat
+    posidx = jnp.arange(cap, dtype=jnp.int32)
+    lab_pos = jnp.where(active, pos_of(lab_all), posidx[None])
+
+    lev = jnp.arange(L, dtype=jnp.int32)[:, None]
+    seg = (lev * cap + lab_pos).ravel()
+    subflux = jax.ops.segment_sum(
+        jnp.where(active, pos_flux_c[None], 0.0).ravel(), seg,
+        num_segments=L * cap).reshape(L, cap)
+    sig = active & (jnp.take_along_axis(subflux, lab_pos, axis=1)
+                    >= mincont * F0[comppos][None])
+    is_root = active & (lab_pos == posidx[None])
+    # parent component (level l-1) labels; level 1's parent is the base
+    parent = jnp.concatenate([comppos[None], lab_pos[:-1]], axis=0)
+    nsig = jax.ops.segment_sum(
+        jnp.where(is_root & sig, 1, 0).ravel(),
+        (lev * cap + parent).ravel(), num_segments=L * cap).reshape(L, cap)
+    split = sig & (jnp.take_along_axis(nsig, parent, axis=1) >= 2)
+
+    has_split = jnp.any(split, axis=0)
+    deepest = (L - 1) - jnp.argmax(split[::-1], axis=0)      # (cap,)
+    lab_deep = jnp.take_along_axis(lab_pos, deepest[None], axis=0)[0]
+    objdeep_pos = jnp.where(has_split, lab_deep, comppos)
+    return jnp.where(pok, pidx[objdeep_pos], INT_MAX)
 
 
 DETECTION_FIELDS = [
@@ -179,11 +289,11 @@ DETECTION_FIELDS = [
 
 
 @partial(jax.jit, static_argnames=('max_det', 'minarea', 'return_labels',
-                                   'deblend'))
+                                   'deblend', 'clean'))
 def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                    nsigma=DETECT_NSIGMA, minarea=DETECT_NPIX,
                    max_det=MAX_DETECTIONS, kernel=None, return_labels=True,
-                   deblend=True):
+                   deblend=True, clean=True):
     """Detect sources on a background-subtracted frame.
 
     Parameters
@@ -239,15 +349,14 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     # connected components entirely on the compact list (no full-frame CCL)
     lab_c = jnp.where(pok, _label_compact(pidx, pok, (H, W)), H * W - 1)
 
-    # ---- deblending: steepest-ascent watershed + contrast rule ----------
-    # Each detected pixel follows its max-filtered-value neighbor uphill to
-    # a local peak (SExtractor's multi-threshold tree is approximated by
-    # these watershed cells). A cell becomes its own object when its flux
-    # exceeds DEBLEND_MINCONT x its component's flux and it is not the
-    # component's dominant (brightest) cell; otherwise it merges into the
-    # component root. Runs on the compacted pixel list: the only full-frame
-    # work is the elementwise 9-neighbor argmax.
-    from ..constants import DEBLEND_MINCONT
+    # ---- deblending ------------------------------------------------------
+    # deblend='exact' (default True): SExtractor's DEBLEND_NTHRESH-level
+    # exponential re-threshold tree with the DEBLEND_MINCONT flux rule and
+    # >=2-significant-children split condition (_deblend_exact); sub-saddle
+    # pixels are apportioned by steepest ascent to their peak.
+    # deblend='watershed': the cheaper r1 approximation (ascent cells +
+    # contrast rule only). False: no splitting.
+    from ..constants import DEBLEND_MINCONT, DEBLEND_NTHRESH
     big_neg = jnp.float32(-3e38)
     fdet = jnp.where(det, filt, big_neg)
     best_val = fdet
@@ -289,19 +398,33 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     pos_c = jnp.maximum(img_c, 0.0)
     cellpos = jnp.searchsorted(pidx, p_c).astype(jnp.int32)
     comppos = jnp.searchsorted(pidx, lab_c).astype(jnp.int32)
-    f_cell = jax.ops.segment_sum(jnp.where(pok, pos_c, 0.0), cellpos,
-                                 num_segments=cap)
-    n_cell = jax.ops.segment_sum(pok.astype(jnp.float32), cellpos,
-                                 num_segments=cap)
-    f_comp = jax.ops.segment_sum(jnp.where(pok, pos_c, 0.0), comppos,
-                                 num_segments=cap)
-    m_comp = jax.ops.segment_max(jnp.where(pok, filt_c, big_neg), comppos,
-                                 num_segments=cap)
-    peak_val = filt_c[cellpos]
-    dominant = peak_val >= m_comp[comppos]
-    significant = ((f_cell[cellpos] >= DEBLEND_MINCONT * f_comp[comppos])
-                   & (n_cell[cellpos] >= minarea) & ~dominant)
-    key_c = jnp.where(significant, p_c, lab_c) if deblend else lab_c
+
+    if deblend == 'watershed':
+        f_cell = jax.ops.segment_sum(jnp.where(pok, pos_c, 0.0), cellpos,
+                                     num_segments=cap)
+        n_cell = jax.ops.segment_sum(pok.astype(jnp.float32), cellpos,
+                                     num_segments=cap)
+        f_comp = jax.ops.segment_sum(jnp.where(pok, pos_c, 0.0), comppos,
+                                     num_segments=cap)
+        m_comp = jax.ops.segment_max(jnp.where(pok, filt_c, big_neg),
+                                     comppos, num_segments=cap)
+        peak_val = filt_c[cellpos]
+        dominant = peak_val >= m_comp[comppos]
+        significant = ((f_cell[cellpos] >= DEBLEND_MINCONT * f_comp[comppos])
+                       & (n_cell[cellpos] >= minarea) & ~dominant)
+        key_c = jnp.where(significant, p_c, lab_c)
+    elif deblend:
+        nbr_pos2, nbr_ok2 = _compact_adjacency(pidx, pok, (H, W))
+        pos_of = _make_pos_of(pidx)
+        thresh_c = jnp.where(pok, thresh_map.ravel()[pidx], 1e30)
+        objdeep = _deblend_exact(pidx, pok, (H, W), lab_c, filt_c, pos_c,
+                                 thresh_c, nbr_pos2, nbr_ok2, pos_of,
+                                 DEBLEND_NTHRESH, DEBLEND_MINCONT)
+        # apportion every pixel to the deepest split branch of its ascent
+        # peak (sub-saddle assignment)
+        key_c = jnp.where(pok, objdeep[cellpos], H * W - 1)
+    else:
+        key_c = lab_c
 
     # renumber deblended objects in raster order of their root pixels
     is_root_c = pok & (pidx == key_c)
@@ -375,6 +498,62 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     # edge flag (FLAGS bit 3 in SExtractor: object truncated at boundary)
     edge = ((xmin <= 0) | (ymin <= 0) | (xmax >= W - 1) | (ymax >= H - 1))
     flags = jnp.where(wflag > 0, 1, 0) | jnp.where(edge, 8, 0)
+
+    # ---- CLEAN pass (sextractor.conf CLEAN Y / CLEAN_PARAM 1.0) ---------
+    # An object is spurious if it would not have been detected without its
+    # neighbors' wings: model each neighbor as an elliptical MOFFAT
+    # profile (beta=2.5 power-law wings — Gaussian wings die too fast for
+    # cleaning to ever trigger, which is why SExtractor's clean.c also
+    # extrapolates Moffat wings) seated on its moment ellipse, evaluate
+    # the summed contribution at the object's centroid, and clean when
+    # peak - contribution <= local threshold. Cleaned objects merge
+    # flux/npix into their dominant contributor and raise its FLAGS bit 1
+    # (close-neighbor bias), the SExtractor flag semantics. Single pass
+    # (SExtractor iterates; second-order corrections are below the parity
+    # budget).
+    if clean:
+        from ..constants import CLEAN_PARAM
+        denom_a = jnp.maximum(a * a, 1e-6)
+        denom_b = jnp.maximum(b * b, 1e-6)
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        cxx = ct * ct / denom_a + st * st / denom_b
+        cyy = st * st / denom_a + ct * ct / denom_b
+        cxy = 2.0 * ct * st * (1.0 / denom_a - 1.0 / denom_b)
+        peak_f = jnp.where(valid, peak, 0.0)
+        contrib_sum = jnp.zeros(nseg)
+        best_c = jnp.zeros(nseg)
+        best_j = jnp.zeros(nseg, dtype=jnp.int32)
+        BLK = 512
+        for j0 in range(0, nseg, BLK):
+            j1 = min(j0 + BLK, nseg)
+            dx = xbar[:, None] - xbar[None, j0:j1]
+            dy = ybar[:, None] - ybar[None, j0:j1]
+            r2 = (cxx[None, j0:j1] * dx * dx + cyy[None, j0:j1] * dy * dy
+                  + cxy[None, j0:j1] * dx * dy)
+            c = peak_f[None, j0:j1] * (
+                1.0 + r2 / (2.0 * CLEAN_PARAM ** 2)) ** -2.5
+            # only brighter, valid neighbors contribute; never self
+            ok_n = (valid[None, j0:j1]
+                    & (peak_f[None, j0:j1] > peak_f[:, None])
+                    & (jnp.arange(j0, j1)[None, :] != rows[:, None]))
+            c = jnp.where(ok_n, c, 0.0)
+            contrib_sum = contrib_sum + jnp.sum(c, axis=1)
+            blk_best = jnp.argmax(c, axis=1).astype(jnp.int32)
+            blk_val = jnp.max(c, axis=1)
+            take = blk_val > best_c
+            best_c = jnp.where(take, blk_val, best_c)
+            best_j = jnp.where(take, blk_best + j0, best_j)
+        cleaned = valid & (peak - contrib_sum <= thr_at_peak)
+        # merge flux/npix into the dominant contributor
+        tgt = jnp.where(cleaned, best_j, nseg - 1)
+        flux = flux + jax.ops.segment_sum(jnp.where(cleaned, flux, 0.0),
+                                          tgt, num_segments=nseg)
+        npix = npix + jax.ops.segment_sum(jnp.where(cleaned, npix, 0.0),
+                                          tgt, num_segments=nseg)
+        got_merge = jax.ops.segment_max(cleaned.astype(jnp.int32), tgt,
+                                        num_segments=nseg)
+        flags = flags | jnp.where(got_merge > 0, 2, 0)
+        valid = valid & ~cleaned
 
     sl = slice(1, max_det + 1)
     out = {

@@ -56,6 +56,13 @@ class PipelineConfig:
     # (references are deep uniform-noise coadds; a global bisect-median
     # sigma is accurate and saves a mesh pass)
     ref_rms_mesh: bool = False
+    # detect_sources deblend mode: True (exact 32-level tree),
+    # 'watershed', or False
+    deblend: object = True
+    # profiling knob (tools/bisect_pipeline.py): truncate the program after
+    # 'warp' | 'bkg' | 'fit' | 'apply' | 'noise' | 'detect'; returns only
+    # {'diff': <last full-frame product>} for stage timing
+    dbg_stop_after: str = None
 
 
 def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
@@ -96,6 +103,8 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
                                       jnp.uint32(1 << MASK_BIT_NODATA_ALIGN),
                                       jnp.uint32(0))
         bad = (submask & jnp.uint32(BAD_SUM)) > 0
+        if cfg.dbg_stop_after == 'warp':
+            return {'diff': refw + cov}
 
         bres = background_mesh(sci, ~bad, box=cfg.box)
         scimbkg = (sci - bres['back']) + BKG_VAL
@@ -117,28 +126,61 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
 
         ivar = 1.0 / jnp.maximum(rms ** 2 + ref_rms ** 2, 1e-6)
         ivar = jnp.where(bad, 0.0, ivar)
+        if cfg.dbg_stop_after == 'bkg':
+            return {'diff': scimbkg + ivar}
 
         fit = fit_kernel(refw, scimbkg, ivar, sx, sy, sv, bgx, bgy, bsums,
                          b0, stamp=cfg.stamp, order=cfg.order, nreg=cfg.nreg)
+        if cfg.dbg_stop_after == 'fit':
+            return {'diff': scimbkg + jnp.sum(fit['coeffs'])}
         model = apply_kernel(refw, fit['coeffs'], bgx, bgy, bsums, b0,
                              order=cfg.order, nreg=cfg.nreg)
         diff = scimbkg - model
+        if cfg.dbg_stop_after == 'apply':
+            return {'diff': diff}
         # diff noise: sci variance + conv(ref variance, K_r^2) with the
         # per-region center kernels (hotpants -oni semantics; same math as
-        # the unbatched subtract_frames path)
-        ref_var_m = propagate_ref_var(ref_rms, fit['coeffs'], bgx, bgy,
-                                      bsums, b0, order=cfg.order,
-                                      nreg=cfg.nreg)
+        # the unbatched subtract_frames path). With the default CONSTANT
+        # ref sigma, conv(var, K^2) == var * sum(K^2) exactly — computed as
+        # per-region scalars blended over static rectangles (the general
+        # conv form costs ~9 full-frame 2D convs, and XLA convs run ~1000x
+        # below MXU peak at these shapes; /tmp conv micro-bench r2).
+        if cfg.ref_rms_mesh:
+            ref_var_m = propagate_ref_var(ref_rms, fit['coeffs'], bgx, bgy,
+                                          bsums, b0, order=cfg.order,
+                                          nreg=cfg.nreg)
+        else:
+            from ..ops.subtract import center_kernels
+            import math as _math
+            kerns = center_kernels(fit['coeffs'], bgx, bgy, bsums, b0,
+                                   order=cfg.order, nreg=cfg.nreg)
+            k2sum = jnp.sum(kerns * kerns, axis=(1, 2))      # (R2,)
+            y_e = [int(_math.ceil(i * H / cfg.nreg))
+                   for i in range(cfg.nreg)] + [H]
+            x_e = [int(_math.ceil(i * W / cfg.nreg))
+                   for i in range(cfg.nreg)] + [W]
+            rows = []
+            for ri in range(cfg.nreg):
+                row = [jnp.full((y_e[ri + 1] - y_e[ri],
+                                 x_e[rj + 1] - x_e[rj]),
+                                1.0) * k2sum[ri * cfg.nreg + rj]
+                       for rj in range(cfg.nreg)]
+                rows.append(jnp.concatenate(row, axis=1))
+            ref_var_m = ref_rms ** 2 * jnp.concatenate(rows, axis=0)
         rms_out = jnp.sqrt(rms ** 2 + ref_var_m)
         rms_out = jnp.where(bad, BIG_RMS, rms_out)
         diff = jnp.where(bad, SUB_NODATA_SENTINEL, diff)
         submask = submask | jnp.where(
             diff == SUB_NODATA_SENTINEL,
             jnp.uint32(1 << MASK_BIT_NODATA_SUB), jnp.uint32(0))
+        if cfg.dbg_stop_after == 'noise':
+            return {'diff': diff + rms_out}
 
         det = detect_sources(diff, rms_out, submask, ~bad,
                              nsigma=cfg.nsigma, max_det=cfg.max_det,
-                             return_labels=False)
+                             return_labels=False, deblend=cfg.deblend)
+        if cfg.dbg_stop_after == 'detect':
+            return {'diff': diff + det['n'].astype(jnp.float32)}
         phot = aperture_photometry_batched(diff, rms_out, submask,
                                            det['x'], det['y'])
         return {
