@@ -209,8 +209,23 @@ def _label_compact(pidx, pok, shape, max_rounds=12):
                          rounds=max_rounds)
 
 
-def _deblend_exact(pidx, pok, shape, lab_c, filt_c, pos_flux_c, thresh_c,
-                   nbr_pos, nbr_ok, pos_of, nlevels, mincont):
+def _segmented_scan(vals, start, combine):
+    """Inclusive segmented scan: within runs delimited by ``start`` flags,
+    combine left-to-right with ``combine`` (associative). Pure vector ops —
+    the TPU-friendlyreplacement for per-pixel segment reductions (a single
+    segment_sum over the 65k compact list costs ~10 ms on v5e; a 17-step
+    associative scan costs ~0.3 ms)."""
+    def op(a, b):
+        va, sa = a
+        vb, sb = b
+        return jnp.where(sb, vb, combine(va, vb)), sa | sb
+
+    out, _ = jax.lax.associative_scan(op, (vals, start))
+    return out
+
+
+def _deblend_exact(pidx, pok, inv, lab_c, comppos, cellpos, filt_c,
+                   pos_flux_c, thresh_c, nbr_pos, nbr_ok, nlevels, mincont):
     """SExtractor multi-threshold deblending tree on the compact list.
 
     Re-thresholds every base component at ``nlevels`` exponentially spaced
@@ -221,63 +236,106 @@ def _deblend_exact(pidx, pok, shape, lab_c, filt_c, pos_flux_c, thresh_c,
     level l-1 has >= 2 such children (no per-branch area gate — SExtractor
     applies DETECT_MINAREA at initial extraction only and relies on the
     CLEAN pass to kill wing noise spikes). Returns, per compact pixel, the
-    root flat index of the DEEPEST split branch containing it (base
-    component root when never split).
+    root flat index of the DEEPEST split branch containing its watershed
+    cell (base component root when never split).
 
-    All ``nlevels - 1`` level labelings run CONCURRENTLY as one batched
-    position-space hook+compress (see _label_masked) — the level axis is
-    pure data parallelism, so the tree costs one labeling pass regardless
-    of DEBLEND_NTHRESH.
-
-    Pixels below their branch's separation level are apportioned by the
-    caller via steepest ascent to their peak (deterministic stand-in for
-    SExtractor's bivariate-Gaussian probabilistic assignment — object
-    COUNTS match the reference tree exactly; sub-saddle pixel ownership is
-    the documented approximation).
+    TPU structure (v5e gather economics: a data-dependent 65k gather costs
+    ~2 ms, a 65k-index segment op ~10 ms):
+    * all level labelings run CONCURRENTLY as one batched position-space
+      hook+compress, INITIALIZED from the watershed-cell peaks — the
+      level-component graph over cells is tiny, so 4 rounds converge;
+    * tree statistics live on the COMPACTED CELL list (every branch is a
+      union of watershed cells): per-cell flux-above-level histograms come
+      from ONE per-pixel segment op, everything else is (L, ncell)-sized.
     """
     cap = pidx.shape[0]
-    comppos = pos_of(lab_c)                                  # (cap,)
+    L = nlevels - 1
+    posidx = jnp.arange(cap, dtype=jnp.int32)
+    big_neg = jnp.float32(-3e38)
+
+    # per-base-component flux / filtered peak / detection threshold
     F0 = jax.ops.segment_sum(jnp.where(pok, pos_flux_c, 0.0), comppos,
                              num_segments=cap)
-    big_neg = jnp.float32(-3e38)
     peak = jax.ops.segment_max(jnp.where(pok, filt_c, big_neg), comppos,
                                num_segments=cap)
     t0 = -jax.ops.segment_max(jnp.where(pok, -thresh_c, big_neg), comppos,
-                              num_segments=cap)          # per-comp min thresh
+                              num_segments=cap)
     peak_c = peak[comppos]
     t0_c = jnp.maximum(t0[comppos], 1e-20)
     ratio = jnp.maximum(peak_c / t0_c, 1.0)
 
-    L = nlevels - 1
     fracs = (jnp.arange(1, nlevels, dtype=jnp.float32)
              / nlevels)[:, None]                             # (L, 1)
     t_l = t0_c[None] * ratio[None] ** fracs                  # (L, cap)
     active = pok[None] & (filt_c[None] >= t_l)
+    # number of active levels per pixel (level l active <=> l <= lpix)
+    lpix = jnp.sum(active, axis=0)                           # (cap,) 0..L
 
-    lab_all = _label_masked(pidx, active, nbr_pos, nbr_ok, pos_of,
-                            rounds=12)                       # (L, cap) flat
-    posidx = jnp.arange(cap, dtype=jnp.int32)
-    lab_pos = jnp.where(active, pos_of(lab_all), posidx[None])
+    # batched level labeling, initialized at the watershed peaks: a pixel's
+    # cell peak is active whenever the pixel is (peak >= pixel >= t_l), so
+    # the init is valid and hooks only need to merge adjacent CELLS
+    lab0 = jnp.where(active, cellpos[None], posidx[None])
+    ok = jnp.stack([nbr_ok[k][None] & active
+                    & jnp.take(active, nbr_pos[k], axis=1)
+                    for k in range(8)])
 
-    lev = jnp.arange(L, dtype=jnp.int32)[:, None]
-    seg = (lev * cap + lab_pos).ravel()
+    def body(_, l):
+        ln = l
+        for k in range(8):
+            cand = jnp.take(l, nbr_pos[k], axis=1)
+            ln = jnp.minimum(ln, jnp.where(ok[k], cand, l))
+
+        def compress(_, lc):
+            return jnp.minimum(lc, jnp.take_along_axis(lc, lc, axis=1))
+
+        return jax.lax.fori_loop(0, 4, compress, ln)
+
+    labp = jax.lax.fori_loop(0, 4, body, lab0)               # (L, cap) pos
+
+    # ---- compact the watershed cells --------------------------------------
+    ccap = min(cap, 8192)
+    is_peak = pok & (cellpos == posidx)
+    ncell = jnp.sum(is_peak.astype(jnp.int32))
+    cpos = jnp.nonzero(is_peak, size=ccap, fill_value=cap - 1)[0]
+    cok = jnp.arange(ccap) < jnp.minimum(ncell, ccap)
+    invcell = jnp.zeros(cap, jnp.int32).at[cpos].set(
+        jnp.arange(ccap, dtype=jnp.int32))
+    cellid = invcell[cellpos]                                # (cap,)
+
+    # per-cell flux above each level: bucket by the pixel's top active
+    # level, then suffix-sum along the level axis
+    bucket = jax.ops.segment_sum(
+        jnp.where(pok, pos_flux_c, 0.0),
+        cellid * (nlevels + 1) + lpix,
+        num_segments=ccap * (nlevels + 1)).reshape(ccap, nlevels + 1)
+    above = jnp.cumsum(bucket[:, ::-1], axis=1)[:, ::-1]     # (ccap, L+2…)
+    # above[c, l] = cell flux from pixels active at level >= l
+
+    lev = jnp.arange(L, dtype=jnp.int32)[:, None]            # (L, 1)
+    bl = jnp.take(labp, cpos, axis=1)                        # (L, ccap) pos
+    act_cell = jnp.take(active, cpos, axis=1) & cok[None]
+    cell_above = above[:, 1:L + 1].T                         # (L, ccap)
     subflux = jax.ops.segment_sum(
-        jnp.where(active, pos_flux_c[None], 0.0).ravel(), seg,
+        jnp.where(act_cell, cell_above, 0.0).ravel(),
+        (lev * cap + bl).ravel(),
         num_segments=L * cap).reshape(L, cap)
-    sig = active & (jnp.take_along_axis(subflux, lab_pos, axis=1)
-                    >= mincont * F0[comppos][None])
-    is_root = active & (lab_pos == posidx[None])
-    # parent component (level l-1) labels; level 1's parent is the base
-    parent = jnp.concatenate([comppos[None], lab_pos[:-1]], axis=0)
+    sf_at_cell = jnp.take_along_axis(subflux, bl, axis=1)    # (L, ccap)
+    F0_cell = F0[comppos][cpos]
+    sig = act_cell & (sf_at_cell >= mincont * F0_cell[None])
+
+    is_branch_root = act_cell & (bl == cpos[None])
+    parent = jnp.concatenate([comppos[cpos][None], bl[:-1]], axis=0)
     nsig = jax.ops.segment_sum(
-        jnp.where(is_root & sig, 1, 0).ravel(),
-        (lev * cap + parent).ravel(), num_segments=L * cap).reshape(L, cap)
+        jnp.where(is_branch_root & sig, 1, 0).ravel(),
+        (lev * cap + parent).ravel(),
+        num_segments=L * cap).reshape(L, cap)
     split = sig & (jnp.take_along_axis(nsig, parent, axis=1) >= 2)
 
-    has_split = jnp.any(split, axis=0)
-    deepest = (L - 1) - jnp.argmax(split[::-1], axis=0)      # (cap,)
-    lab_deep = jnp.take_along_axis(lab_pos, deepest[None], axis=0)[0]
-    objdeep_pos = jnp.where(has_split, lab_deep, comppos)
+    has_split = jnp.any(split, axis=0)                       # (ccap,)
+    deepest = (L - 1) - jnp.argmax(split[::-1], axis=0)
+    bl_deep = jnp.take_along_axis(bl, deepest[None], axis=0)[0]
+    objdeep_cell = jnp.where(has_split, bl_deep, comppos[cpos])
+    objdeep_pos = objdeep_cell[cellid]                       # (cap,)
     return jnp.where(pok, pidx[objdeep_pos], INT_MAX)
 
 
@@ -340,14 +398,44 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     # COMPACTED pixel list, not the full frame — detected pixels are <<1% of
     # a frame and full-frame scatters/gathers cost ~100 ms each. Capacity
     # overflow drops the raggedest tail (counted in ``pix_overflow``).
-    # fill_value = last index keeps pidx sorted (needed by searchsorted).
     cap = min(H * W, max(1 << 14, 64 * max_det))
     det_flat = det.ravel()
     ndet_pix = jnp.sum(det_flat.astype(jnp.int32))
     pidx = jnp.nonzero(det_flat, size=cap, fill_value=H * W - 1)[0]
     pok = jnp.arange(cap) < jnp.minimum(ndet_pix, cap)
-    # connected components entirely on the compact list (no full-frame CCL)
-    lab_c = jnp.where(pok, _label_compact(pidx, pok, (H, W)), H * W - 1)
+    # inverse map flat index -> compact position: ONE 65k scatter replaces
+    # every searchsorted (a vectorized binary search costs 17 chained 65k
+    # gathers ~2 ms each on v5e)
+    inv = jnp.zeros(H * W, jnp.int32).at[pidx].set(
+        jnp.arange(cap, dtype=jnp.int32))
+
+    def pos_of(lbl):
+        return inv[jnp.clip(lbl, 0, H * W - 1)]
+
+    # ---- base connected components ---------------------------------------
+    # full-frame min-pool sweeps are the cheapest primitive (~0.6 ms each,
+    # pure VPU): 32 sweeps converge every component of diameter <= 32
+    # exactly; one compact position-space hook+compress round then repairs
+    # longer chains (reach 32*2^6 px). Compact 1-D gathers cost ~2 ms each,
+    # so rounds are rationed.
+    labels_f = jnp.where(det, flat, INT_MAX)
+
+    def sweep(_, l):
+        return jnp.where(det, _minpool3(l), INT_MAX)
+
+    labels_f = jax.lax.fori_loop(0, 32, sweep, labels_f)
+    posidx = jnp.arange(cap, dtype=jnp.int32)
+    seedpos = pos_of(labels_f.ravel()[pidx])
+    nbr_pos, nbr_ok = _compact_adjacency(pidx, pok, (H, W))
+    okb = jnp.stack([nbr_ok[k] & pok & pok[nbr_pos[k]] for k in range(8)])
+    lab_p = jnp.where(pok, seedpos, posidx)
+    lnn = lab_p
+    for k in range(8):
+        lnn = jnp.minimum(lnn, jnp.where(okb[k], lab_p[nbr_pos[k]], lab_p))
+    lab_p = jax.lax.fori_loop(
+        0, 6, lambda _, lc: jnp.minimum(lc, lc[lc]), lnn)
+    lab_c = jnp.where(pok, pidx[lab_p], H * W - 1)
+    comppos = jnp.where(pok, lab_p, cap - 1)
 
     # ---- deblending ------------------------------------------------------
     # deblend='exact' (default True): SExtractor's DEBLEND_NTHRESH-level
@@ -389,15 +477,16 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
             best_idx = jnp.where(take, ni, best_idx)
     parent_flat = jnp.where(det, best_idx, flat).ravel()
 
-    p_c = jnp.where(pok, parent_flat[pidx], H * W - 1)
-    # chains ascend monotonically; 16 hops reach any real peak
-    p_c = jax.lax.fori_loop(0, 16, lambda _, p: parent_flat[p], p_c)
+    # steepest ascent to the cell peak by pointer DOUBLING in position
+    # space: 6 squarings reach any peak within 2^6 px (a fixed-step chase
+    # costs one ~2 ms gather per pixel of path length)
+    ppos = jnp.where(pok, pos_of(parent_flat[pidx]), posidx)
+    cellpos = jax.lax.fori_loop(0, 6, lambda _, p: p[p], ppos)
+    p_c = jnp.where(pok, pidx[cellpos], H * W - 1)
 
     filt_c = jnp.where(pok, filt.ravel()[pidx], 0.0)
     img_c = jnp.where(pok, img.ravel()[pidx], 0.0)
     pos_c = jnp.maximum(img_c, 0.0)
-    cellpos = jnp.searchsorted(pidx, p_c).astype(jnp.int32)
-    comppos = jnp.searchsorted(pidx, lab_c).astype(jnp.int32)
 
     if deblend == 'watershed':
         f_cell = jax.ops.segment_sum(jnp.where(pok, pos_c, 0.0), cellpos,
@@ -414,22 +503,18 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                        & (n_cell[cellpos] >= minarea) & ~dominant)
         key_c = jnp.where(significant, p_c, lab_c)
     elif deblend:
-        nbr_pos2, nbr_ok2 = _compact_adjacency(pidx, pok, (H, W))
-        pos_of = _make_pos_of(pidx)
         thresh_c = jnp.where(pok, thresh_map.ravel()[pidx], 1e30)
-        objdeep = _deblend_exact(pidx, pok, (H, W), lab_c, filt_c, pos_c,
-                                 thresh_c, nbr_pos2, nbr_ok2, pos_of,
-                                 DEBLEND_NTHRESH, DEBLEND_MINCONT)
-        # apportion every pixel to the deepest split branch of its ascent
-        # peak (sub-saddle assignment)
-        key_c = jnp.where(pok, objdeep[cellpos], H * W - 1)
+        key_c = _deblend_exact(pidx, pok, inv, lab_c, comppos, cellpos,
+                               filt_c, pos_c, thresh_c, nbr_pos, nbr_ok,
+                               DEBLEND_NTHRESH, DEBLEND_MINCONT)
+        key_c = jnp.where(pok, key_c, H * W - 1)
     else:
         key_c = lab_c
 
     # renumber deblended objects in raster order of their root pixels
     is_root_c = pok & (pidx == key_c)
     robj = jnp.cumsum(is_root_c.astype(jnp.int32))       # 1-based at roots
-    rootpos = jnp.searchsorted(pidx, key_c).astype(jnp.int32)
+    rootpos = pos_of(key_c)
     obj = robj[rootpos]
     obj = jnp.where(obj > max_det, max_det + 1, obj)
     cid = jnp.where(pok, obj, nseg - 1)
@@ -437,49 +522,57 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     def gat(arr2d):
         return arr2d.ravel()[pidx]
 
-    def seg_sum(vals):
-        return jax.ops.segment_sum(jnp.where(pok, vals, 0.0), cid,
-                                   num_segments=nseg)
-
-    def seg_max(vals, fill=-jnp.inf):
-        return jax.ops.segment_max(jnp.where(pok, vals, fill), cid,
-                                   num_segments=nseg)
-
-    def seg_min(vals, fill=jnp.inf):
-        return jax.ops.segment_min(jnp.where(pok, vals, fill), cid,
-                                   num_segments=nseg)
-
+    # ---- per-object statistics via ONE sort + segmented scans ------------
+    # (each per-pixel segment reduction costs ~10 ms on v5e; a multi-
+    # operand sort costs one pass and every statistic becomes a ~0.3 ms
+    # associative scan)
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing='ij')
     vals = gat(img)                      # (cap,) detection-image values
     pos = jnp.maximum(vals, 0.0)
     pxx = gat(xx)
     pyy = gat(yy)
+    m32 = gat(mask).astype(jnp.int32)
+    wnot = jnp.where(gat(weight_ok), 0, 1)
+    thr_c2 = gat(thresh_map)
 
-    npix = seg_sum(jnp.ones(cap))
-    flux = seg_sum(vals)
-    peak = seg_max(vals)
-    wsum = jnp.maximum(seg_sum(pos), 1e-20)
-    xbar = seg_sum(pos * pxx) / wsum
-    ybar = seg_sum(pos * pyy) / wsum
-    x2 = seg_sum(pos * pxx * pxx) / wsum - xbar * xbar
-    y2 = seg_sum(pos * pyy * pyy) / wsum - ybar * ybar
-    xy = seg_sum(pos * pxx * pyy) / wsum - xbar * ybar
+    (cid_s, vals_s, pos_s, pxx_s, pyy_s, m32_s, wnot_s, thr_s) = \
+        jax.lax.sort((cid, vals, pos, pxx, pyy, m32, wnot, thr_c2),
+                     num_keys=1)
+    start = jnp.concatenate([jnp.ones(1, bool),
+                             cid_s[1:] != cid_s[:-1]])
+
+    rows = jnp.arange(nseg)
+    starts = jnp.searchsorted(cid_s, rows).astype(jnp.int32)
+    ends = jnp.clip(jnp.searchsorted(cid_s, rows + 1).astype(jnp.int32) - 1,
+                    0, cap - 1)
+    present = (cid_s[jnp.clip(ends, 0, cap - 1)] == rows) & (ends >= starts)
+
+    def seg_stat(v, combine, empty):
+        scanned = _segmented_scan(v, start, combine)
+        return jnp.where(present, scanned[ends], empty)
+
+    add = lambda a, b: a + b
+    npix = seg_stat(jnp.ones(cap), add, 0.0)
+    flux = seg_stat(vals_s, add, 0.0)
+    peak = seg_stat(vals_s, jnp.maximum, 0.0)
+    wsum = jnp.maximum(seg_stat(pos_s, add, 0.0), 1e-20)
+    xbar = seg_stat(pos_s * pxx_s, add, 0.0) / wsum
+    ybar = seg_stat(pos_s * pyy_s, add, 0.0) / wsum
+    x2 = seg_stat(pos_s * pxx_s * pxx_s, add, 0.0) / wsum - xbar * xbar
+    y2 = seg_stat(pos_s * pyy_s * pyy_s, add, 0.0) / wsum - ybar * ybar
+    xy = seg_stat(pos_s * pxx_s * pyy_s, add, 0.0) / wsum - xbar * ybar
     # SExtractor's minimum-variance floor (1/12 px from pixelization)
     x2 = jnp.maximum(x2, 1.0 / 12.0)
     y2 = jnp.maximum(y2, 1.0 / 12.0)
-    xmin = seg_min(pxx)
-    xmax = seg_max(pxx)
-    ymin = seg_min(pyy)
-    ymax = seg_max(pyy)
-    wflag = seg_max(jnp.where(gat(weight_ok), 0, 1), fill=0)
-    # exact bitwise OR of mask bits over each footprint
-    m32 = gat(mask).astype(jnp.int32)
-    imaflags = jnp.zeros(nseg, dtype=jnp.int32)
-    for bit in range(18):
-        has = seg_max((m32 >> bit) & 1, fill=0)
-        imaflags = imaflags | (has << bit)
-    thr_at_peak = seg_max(gat(thresh_map))
+    xmin = seg_stat(pxx_s, jnp.minimum, jnp.inf)
+    xmax = seg_stat(pxx_s, jnp.maximum, -jnp.inf)
+    ymin = seg_stat(pyy_s, jnp.minimum, jnp.inf)
+    ymax = seg_stat(pyy_s, jnp.maximum, -jnp.inf)
+    wflag = seg_stat(wnot_s.astype(jnp.float32), jnp.maximum, 0.0)
+    # exact bitwise OR of mask bits over each footprint, one OR-scan
+    imaflags = seg_stat(m32_s, jnp.bitwise_or, 0)
+    thr_at_peak = seg_stat(thr_s, jnp.maximum, 0.0)
     pix_overflow = ndet_pix - jnp.sum(pok.astype(jnp.int32))
 
     # shape parameters (SExtractor A/B/THETA from central moments)
@@ -492,7 +585,6 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     fwhm = 2.0 * jnp.sqrt(jnp.log(2.0) * (x2 + y2))
 
     # validity: real component rows are 1..max_det with npix >= minarea
-    rows = jnp.arange(nseg)
     valid = (rows >= 1) & (rows <= max_det) & (npix >= minarea)
 
     # edge flag (FLAGS bit 3 in SExtractor: object truncated at boundary)
