@@ -27,12 +27,11 @@ except AttributeError:
     pass
 # keep test config away from the user's real one
 os.environ.setdefault('ZUDS_CONFIG', '/tmp/zuds-tpu-test-config.yaml')
-# persistent XLA compile cache: op compiles dominate suite wall-clock.
-# jax is pre-imported by the environment's sitecustomize, so env vars are
-# too late — set through jax.config (same reason as jax_platforms above).
-jax.config.update('jax_compilation_cache_dir', '/tmp/zuds-tpu-jax-cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+# NO persistent compile cache on the CPU backend: compiles route through
+# the environment's remote compile helper, which targets a DIFFERENT cpu
+# (avx512/amx) — deserialized executables warn about SIGILL risk and were
+# observed to return a wrong element (caught by test_parity's oracle).
+jax.config.update('jax_compilation_cache_dir', None)
 
 import numpy as np
 import pytest

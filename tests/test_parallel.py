@@ -16,8 +16,6 @@ import jax
 
 if __name__ == '__main__':
     jax.config.update('jax_platforms', 'cpu')
-    jax.config.update('jax_compilation_cache_dir', '/tmp/zuds-tpu-jax-cache')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
 import jax.numpy as jnp
 import pytest
 

@@ -227,27 +227,39 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
         Cw = _einsum_hi('snp,sp->sn', Cf, sw)                    # (S,Nb)
         G_bg = _einsum_hi('sn,sm,sr->rnm', Cw, T, rhot).reshape(R2, Nb * Nm)
         wsum = _einsum_hi('sp,sr->r', sw, rhot)
-        Cy = _einsum_hi('snp,sp->sn', Cf, sw * yf)
-        h_b = _einsum_hi('sn,sm,sr->rnm', Cy, T, rhot).reshape(R2, Nb * Nm)
-        h_g = _einsum_hi('sp,sr->r', sw * yf, rhot)
         G = jnp.zeros((R2, D, D))
         G = G.at[:, :Nb * Nm, :Nb * Nm].set(G_bb)
         G = G.at[:, :Nb * Nm, -1].set(G_bg)
         G = G.at[:, -1, :Nb * Nm].set(G_bg)
         G = G.at[:, -1, -1].set(wsum)
-        h = jnp.concatenate([h_b, h_g[:, None]], axis=1)
-        return G, h
+        return G, sw
 
-    def solve(G, h):
-        # Jacobi-scaled ridge solve: normalize columns to unit diagonal so
-        # the tiny regularizer is scale-free (raw G mixes flux^2-sized kernel
-        # entries with O(npix) background entries)
+    def rhs(yvec, sw):
+        """F^T diag(w) yvec, assembled per region."""
+        Cy = _einsum_hi('snp,sp->sn', Cf, sw * yvec)
+        h_b = _einsum_hi('sn,sm,sr->rnm', Cy, T, rhot).reshape(R2, Nb * Nm)
+        h_g = _einsum_hi('sp,sr->r', sw * yvec, rhot)
+        return jnp.concatenate([h_b, h_g[:, None]], axis=1)
+
+    def model_stamps(coeffs):
+        a = coeffs[:, :Nb * Nm].reshape(R2, Nb, Nm)
+        bg = coeffs[:, -1]
+        a_s = _einsum_hi('sr,rnm->snm', rhot, a)
+        bg_s = rhot @ bg
+        wmap = _einsum_hi('snm,sm->sn', a_s, T)                  # (S,Nb)
+        return _einsum_hi('sn,snp->sp', wmap, Cf) + bg_s[:, None]
+
+    def solve_factory(G):
+        # Jacobi-scaled ridge operator: normalize columns to unit diagonal
+        # so the tiny regularizer is scale-free (raw G mixes flux^2-sized
+        # kernel entries with O(npix) background entries)
         d = jax.vmap(jnp.diag)(G)                                # (R2, D)
-        s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-20))
-        Gs = G * s[:, :, None] * s[:, None, :]
-        Gs = Gs + 1e-7 * jnp.eye(D)[None]
-        z = jax.vmap(jnp.linalg.solve)(Gs, h * s)
-        return z * s                                             # (R2, D)
+        sc = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-20))
+        Gr = G * sc[:, :, None] * sc[:, None, :] + 1e-7 * jnp.eye(D)[None]
+
+        def solve(h):
+            return jax.vmap(jnp.linalg.solve)(Gr, h * sc) * sc
+        return solve
 
     def stamp_chi2(coeffs):
         a = coeffs[:, :Nb * Nm].reshape(R2, Nb, Nm)
@@ -263,8 +275,27 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
     ok = jnp.ones(xs.shape[0], dtype=bool)
     coeffs = None
     for _ in range(3):                 # 2 rejection passes + final fit
-        G, h = normal_eq(ok)
-        coeffs = solve(G, h)
+        G, sw = normal_eq(ok)
+        solve = solve_factory(G)
+        coeffs = solve(rhs(yf, sw))
+        # TWO data-space refinement steps: the f32 Gram squares the design
+        # condition number, and a single solve leaves multi-mmag bias on
+        # the photometric B0 coefficient. Computing the residual in DATA
+        # space (y - F z: small numbers before the big contraction)
+        # sidesteps the catastrophic h - G z cancellation; each step cuts
+        # the error by ~kappa*eps_f32 (tests/test_parity.py pins <1 mmag
+        # against a float64 oracle). When kappa*eps >= 1 refinement can
+        # DIVERGE, so each step is accepted per region only if it lowers
+        # the weighted chi2 — monotone by construction.
+        def region_chi2(c):
+            r2v = (model_stamps(c) - yf) ** 2 * sw
+            return _einsum_hi('sp,sr->r', r2v, rhot)
+
+        for _r in range(2):
+            resid = yf - model_stamps(coeffs)
+            cand = coeffs + solve(rhs(resid, sw))
+            better = (region_chi2(cand) <= region_chi2(coeffs))
+            coeffs = jnp.where(better[:, None], cand, coeffs)
         chi2 = stamp_chi2(coeffs)
         live = ok & svalid
         # per-region 3-sigma clip (a bad region's stamps must not be judged
