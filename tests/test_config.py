@@ -42,3 +42,34 @@ def test_mjd_from_header():
     h2 = Header()
     h2.set('DATE-OBS', '2018-08-15T06:00:00.0')
     assert mjd_from_header(h2) == pytest.approx(58345.25, abs=1e-6)
+
+
+def test_tracing_spans():
+    """Structured tracing subsystem (SURVEY §5 gap: the reference has
+    print-based timing only)."""
+    import io
+    import zuds_tpu.tracing as tracing
+    tracing.reset()
+    with tracing.timed('stage_a'):
+        pass
+    with tracing.timed('stage_a'):
+        pass
+    with tracing.timed('stage_b'):
+        pass
+    snap = tracing.spans()
+    assert snap['stage_a'][0] == 2
+    assert snap['stage_b'][0] == 1
+    buf = io.StringIO()
+    tracing.report(buf)
+    out = buf.getvalue()
+    assert 'stage_a' in out and 'mean' in out
+
+    @tracing.traced('deco')
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2
+    assert tracing.spans()['deco'][0] == 1
+
+    import zuds_tpu as zuds
+    assert zuds.timed is tracing.timed

@@ -29,6 +29,8 @@ _LAZY_MODULES = {
 _LAZY_SYMBOLS = {
     # symbol -> module that defines it
     'TPVWCS': 'zuds_tpu.wcs',
+    'timed': 'zuds_tpu.tracing',
+    'device_profile': 'zuds_tpu.tracing',
     'File': 'zuds_tpu.file',
     'UnmappedFileError': 'zuds_tpu.file',
     'FITSFile': 'zuds_tpu.fitsfile',

@@ -35,6 +35,7 @@ CATALOG_DTYPE = [
     ('FLUX_APER', 'f4'), ('FLUXERR_APER', 'f4'),
     ('MAG_AUTO', 'f4'), ('MAGERR_AUTO', 'f4'),
     ('FLUX_MAX', 'f4'), ('ISOAREA_IMAGE', 'f4'),
+    ('MU_MAX', 'f4'), ('BACKGROUND', 'f4'), ('CLASS_STAR', 'f4'),
     ('FLAGS', 'i2'), ('FLAGS_WEIGHT', 'i2'), ('IMAFLAGS_ISO', 'i4'),
     ('GOODCUT', 'i2'), ('RB', 'f4'),
 ]
@@ -169,6 +170,33 @@ class PipelineFITSCatalog(File):
                 np.where(cat['FLUX_AUTO'] > 0, cat['FLUX_AUTO'], np.nan))
             cat['MAGERR_AUTO'] = 1.0857 * cat['FLUXERR_AUTO'] \
                 / np.where(cat['FLUX_AUTO'] > 0, cat['FLUX_AUTO'], np.nan)
+        # MU_MAX: peak surface brightness above background
+        # (mag/arcsec^2; sextractor.param column)
+        try:
+            pixscale = image.wcs.pixel_scale_arcsec()
+        except Exception:
+            pixscale = 1.0
+        with np.errstate(divide='ignore', invalid='ignore'):
+            cat['MU_MAX'] = zp - 2.5 * np.log10(
+                np.where(cat['FLUX_MAX'] > 0,
+                         cat['FLUX_MAX'] / pixscale ** 2, np.nan))
+        # BACKGROUND: local mesh background at the object centroid
+        bkg = np.ascontiguousarray(image.background_image.data)
+        yi = np.clip(np.round(ys).astype(int), 0, bkg.shape[0] - 1)
+        xi = np.clip(np.round(xs).astype(int), 0, bkg.shape[1] - 1)
+        cat['BACKGROUND'] = bkg[yi, xi]
+        # CLASS_STAR: morphological star/galaxy score in [0, 1]. The
+        # reference runs SExtractor's pre-trained NNW perceptron
+        # (astromatic/default.nnw); here an equivalent-purpose logistic on
+        # concentration (FWHM vs frame seeing) and elongation — stars
+        # (FWHM ~ seeing, round) score ~1, extended/elongated objects ~0.
+        seeing = image.header.get('SEEING')
+        if not seeing or not np.isfinite(seeing):
+            seeing = float(np.nanmedian(cat['FWHM_IMAGE']))                 if len(cat) else 2.0
+        conc = cat['FWHM_IMAGE'] / max(float(seeing), 1e-3)
+        cat['CLASS_STAR'] = (1.0 / (1 + np.exp(-8.0 * (1.25 - conc)))
+                             * 1.0 / (1 + np.exp(-4.0 *
+                                                 (1.6 - cat['ELONGATION']))))
         cat['GOODCUT'] = 0
         cat['RB'] = np.nan
 

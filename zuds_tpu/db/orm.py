@@ -14,9 +14,103 @@ import datetime
 import sqlite3
 import threading
 
-__all__ = ['Column', 'Model', 'Session', 'ScopedSession', 'MODELS']
+__all__ = ['Column', 'Model', 'Session', 'ScopedSession', 'MODELS',
+           'SqliteDialect', 'PostgresDialect', 'PGConnection']
 
 MODELS = {}
+
+
+class SqliteDialect:
+    """Default dialect: SQL passes through untouched ('?' paramstyle)."""
+
+    name = 'sqlite'
+
+    def translate(self, sql):
+        return sql
+
+    def ddl(self, sql):
+        return sql
+
+
+class PostgresDialect:
+    """Translation layer for postgres+q3c (the production coordination
+    bus of the reference, zuds/core.py:23-24 + zuds/model_util.py:132-271).
+
+    Query SQL is written against the sqlite conventions used throughout
+    the package ('?' placeholders, sqlite type names); this dialect
+    rewrites placeholders and DDL. The q3c_* spatial functions pass
+    through untouched — on postgres they are the REAL q3c extension.
+    """
+
+    name = 'postgres'
+
+    def translate(self, sql):
+        return sql.replace('?', '%s')
+
+    def ddl(self, sql):
+        out = sql.replace('INTEGER PRIMARY KEY AUTOINCREMENT',
+                          'BIGSERIAL PRIMARY KEY')
+        out = out.replace(' BLOB', ' BYTEA')
+        out = out.replace(' REAL', ' DOUBLE PRECISION')
+        return out
+
+
+class _PGCursorProxy:
+    """Exposes the sqlite cursor surface (lastrowid, fetch*, rowcount)
+    over a psycopg2 cursor."""
+
+    def __init__(self, cur, lastrowid=None):
+        self._cur = cur
+        self.lastrowid = lastrowid
+
+    @property
+    def rowcount(self):
+        return self._cur.rowcount
+
+    def fetchone(self):
+        return self._cur.fetchone()
+
+    def fetchall(self):
+        return self._cur.fetchall()
+
+    def __iter__(self):
+        return iter(self._cur)
+
+
+class PGConnection:
+    """Adapter giving a psycopg2 connection the sqlite3 connection
+    surface the Session uses (``conn.execute`` shortcut, '?' placeholders,
+    ``lastrowid`` on INSERT via RETURNING id, dict rows)."""
+
+    dialect = PostgresDialect()
+
+    def __init__(self, conn):
+        self._conn = conn
+
+    def execute(self, sql, params=()):
+        head = sql.lstrip()[:12].upper()
+        if head.startswith(('CREATE', 'DROP', 'ALTER')):
+            sql = self.dialect.ddl(sql)
+        sql = self.dialect.translate(sql)
+        lastrowid = None
+        cur = self._conn.cursor()
+        if head.startswith('INSERT') and ' RETURNING ' not in sql.upper():
+            cur.execute(sql + ' RETURNING id', tuple(params))
+            row = cur.fetchone()
+            lastrowid = (row['id'] if isinstance(row, dict)
+                         else row[0]) if row else None
+        else:
+            cur.execute(sql, tuple(params))
+        return _PGCursorProxy(cur, lastrowid)
+
+    def commit(self):
+        self._conn.commit()
+
+    def rollback(self):
+        self._conn.rollback()
+
+    def close(self):
+        self._conn.close()
 
 
 class Column:
@@ -81,7 +175,9 @@ class Model(metaclass=ModelMeta):
     @classmethod
     def from_row(cls, row):
         obj = cls.__new__(cls)
-        for k, v in zip(row.keys(), row):
+        items = row.items() if isinstance(row, dict) \
+            else zip(row.keys(), row)
+        for k, v in items:
             setattr(obj, k, v)
         obj._persisted = True
         return obj

@@ -38,10 +38,15 @@ def init_db(timeout=None, database=None):
     """Bind DBSession/RefDBSession to the configured database."""
     _ensure_models_imported()
     backend = get_secret('db_backend', 'sqlite')
+    if backend == 'postgres':
+        factory = _postgres_factory('', timeout)
+        ref_factory = (_postgres_factory('ref_', timeout)
+                       if get_secret('ref_db_host') else factory)
+        DBSession.configure(factory)
+        RefDBSession.configure(ref_factory)
+        return DBSession
     if backend != 'sqlite':
-        raise NotImplementedError(
-            f'db_backend {backend!r}: only the sqlite dialect ships in this '
-            f'environment; the postgres seam needs a psycopg2 driver')
+        raise NotImplementedError(f'unknown db_backend {backend!r}')
     path = _sqlite_path(database)
     _state['path'] = path
 
@@ -56,6 +61,37 @@ def init_db(timeout=None, database=None):
     DBSession.configure(factory)
     RefDBSession.configure(factory)
     return DBSession
+
+
+def _postgres_factory(refkey, timeout=None):
+    """Connection factory for the postgres dialect (secrets naming follows
+    the reference: db_username/db_password/db_host/db_port/db_name, with a
+    ref_ prefix for the reference database; zuds/model_util.py:132-160).
+    Requires psycopg2 and a server with the q3c extension installed."""
+    from .db.orm import PGConnection
+    try:
+        import psycopg2
+        import psycopg2.extras
+    except ImportError as e:
+        raise RuntimeError(
+            'db_backend postgres requires the psycopg2 driver') from e
+
+    kwargs = dict(
+        dbname=get_secret(f'{refkey}db_name'),
+        user=get_secret(f'{refkey}db_username'),
+        password=get_secret(f'{refkey}db_password'),
+        host=get_secret(f'{refkey}db_host'),
+        port=get_secret(f'{refkey}db_port') or 5432,
+    )
+    if timeout:
+        kwargs['options'] = f'-c statement_timeout={int(timeout * 1000)}'
+
+    def factory():
+        conn = psycopg2.connect(
+            cursor_factory=psycopg2.extras.RealDictCursor, **kwargs)
+        return PGConnection(conn)
+
+    return factory
 
 
 def create_tables(retry=1):
