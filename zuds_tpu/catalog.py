@@ -194,9 +194,9 @@ class PipelineFITSCatalog(File):
         if not seeing or not np.isfinite(seeing):
             seeing = float(np.nanmedian(cat['FWHM_IMAGE']))                 if len(cat) else 2.0
         conc = cat['FWHM_IMAGE'] / max(float(seeing), 1e-3)
-        cat['CLASS_STAR'] = (1.0 / (1 + np.exp(-8.0 * (1.25 - conc)))
-                             * 1.0 / (1 + np.exp(-4.0 *
-                                                 (1.6 - cat['ELONGATION']))))
+        z1 = np.clip(-8.0 * (1.25 - conc), -60.0, 60.0)
+        z2 = np.clip(-4.0 * (1.6 - cat['ELONGATION']), -60.0, 60.0)
+        cat['CLASS_STAR'] = 1.0 / (1 + np.exp(z1)) / (1 + np.exp(z2))
         cat['GOODCUT'] = 0
         cat['RB'] = np.nan
 

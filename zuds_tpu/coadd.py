@@ -58,7 +58,8 @@ def _coadd_from_images(cls, images, outfile_name, nthreads=1, addbkg=True,
                        mask_swarp_kws=None, solve_astrometry=False):
     """Build a coadd of ``images`` (reference: zuds/coadd.py:25-236)."""
     import jax.numpy as jnp
-    from .ops.resample import upsample_mapping, warp_image, warp_mask
+    from .ops.resample import (upsample_mapping, warp_image, warp_mask,
+                               plan_warp, warp_planned)
     from .ops.coadd import clipped_coadd, combine_masks, fluxscale
     from .seeing import estimate_seeing
 
@@ -88,15 +89,24 @@ def _coadd_from_images(cls, images, outfile_name, nthreads=1, addbkg=True,
             np.ascontiguousarray(src.data).astype(np.float32))
         wdat = jnp.asarray(
             np.ascontiguousarray(im.weight_image.data).astype(np.float32))
-        img_w, cov = warp_image(data, u, v)
-        wgt_w, _ = warp_image(wdat, u, v)
-        wgt_w = jnp.maximum(wgt_w, 0.0) * cov
         if im.mask_image is not None:
             m = jnp.asarray(np.ascontiguousarray(im.mask_image.data)
-                            .astype(np.uint16))
-            masks.append(warp_mask(m, u, v))
+                            .astype(np.uint32))
         else:
-            masks.append(jnp.zeros((H, W), dtype=jnp.uint16))
+            m = jnp.zeros(data.shape, dtype=jnp.uint32)
+        # host-planned fast warp (integer pre-shift + small residual
+        # window); gather fallback for exotic mappings
+        plan = plan_warp(grid, (H, W), tuple(data.shape))
+        if plan is not None:
+            img_w, m_w, cov = warp_planned(data, m, u, v, plan, (H, W))
+            wgt_w, _, _ = warp_planned(wdat, jnp.zeros_like(m), u, v,
+                                       plan, (H, W))
+        else:
+            img_w, cov = warp_image(data, u, v)
+            wgt_w, _ = warp_image(wdat, u, v)
+            m_w = warp_mask(m, u, v)
+        wgt_w = jnp.maximum(wgt_w, 0.0) * cov
+        masks.append(m_w.astype(jnp.uint16))
         warped.append(img_w)
         weights.append(wgt_w)
         covs.append(cov)
