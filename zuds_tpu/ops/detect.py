@@ -136,10 +136,12 @@ def _compact_adjacency(pidx, pok, shape, inv=None):
         tgt_c = jnp.clip(tgt, 0, H * W - 1)
         if inv is not None:
             pos = inv[tgt_c]
+            ok = ok & (pos >= 0)
+            pos = jnp.maximum(pos, 0)
         else:
             pos = jnp.clip(jnp.searchsorted(pidx, tgt_c).astype(jnp.int32),
                            0, cap - 1)
-        ok = ok & (pidx[pos] == tgt) & pok[pos]
+            ok = ok & (pidx[pos] == tgt) & pok[pos]
         nbr_pos.append(pos)
         nbr_ok.append(ok)
     return jnp.stack(nbr_pos), jnp.stack(nbr_ok)
@@ -219,7 +221,7 @@ def _label_compact(pidx, pok, shape, max_rounds=12):
 def _segmented_scan(vals, start, combine):
     """Inclusive segmented scan: within runs delimited by ``start`` flags,
     combine left-to-right with ``combine`` (associative). Pure vector ops —
-    the TPU-friendlyreplacement for per-pixel segment reductions (a single
+    the TPU-friendly replacement for per-pixel segment reductions (a single
     segment_sum over the 65k compact list costs ~10 ms on v5e; a 17-step
     associative scan costs ~0.3 ms)."""
     def op(a, b):
@@ -231,7 +233,7 @@ def _segmented_scan(vals, start, combine):
     return out
 
 
-def _deblend_exact(pidx, pok, inv, lab_c, comppos, cellpos, filt_c,
+def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
                    pos_flux_c, thresh_c, nbr_pos, nbr_ok, nlevels, mincont):
     """SExtractor multi-threshold deblending tree on the compact list.
 
@@ -412,25 +414,26 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     pok = jnp.arange(cap) < jnp.minimum(ndet_pix, cap)
     # inverse map flat index -> compact position: ONE 65k scatter replaces
     # every searchsorted (a vectorized binary search costs 17 chained 65k
-    # gathers ~2 ms each on v5e)
-    inv = jnp.zeros(H * W, jnp.int32).at[pidx].set(
-        jnp.arange(cap, dtype=jnp.int32))
+    # gathers ~2 ms each on v5e). Non-detected pixels map to -1, so
+    # "neighbor detected?" is a sign test on a single gather.
+    inv = jnp.full(H * W, -1, jnp.int32).at[pidx].set(
+        jnp.where(pok, jnp.arange(cap, dtype=jnp.int32), -1))
 
     def pos_of(lbl):
-        return inv[jnp.clip(lbl, 0, H * W - 1)]
+        return jnp.maximum(inv[jnp.clip(lbl, 0, H * W - 1)], 0)
 
     # ---- base connected components ---------------------------------------
     # full-frame min-pool sweeps are the cheapest primitive (~0.6 ms each,
-    # pure VPU): 32 sweeps converge every component of diameter <= 32
+    # pure VPU): 24 sweeps converge every component of diameter <= 24
     # exactly; one compact position-space hook+compress round then repairs
-    # longer chains (reach 32*2^6 px). Compact 1-D gathers cost ~2 ms each,
+    # longer chains (reach 24*2^6 px). Compact 1-D gathers cost ~2 ms each,
     # so rounds are rationed.
     labels_f = jnp.where(det, flat, INT_MAX)
 
     def sweep(_, l):
         return jnp.where(det, _minpool3(l), INT_MAX)
 
-    labels_f = jax.lax.fori_loop(0, 32, sweep, labels_f)
+    labels_f = jax.lax.fori_loop(0, 24, sweep, labels_f)
     posidx = jnp.arange(cap, dtype=jnp.int32)
     seedpos = pos_of(labels_f.ravel()[pidx])
     nbr_pos, nbr_ok = _compact_adjacency(pidx, pok, (H, W), inv=inv)
@@ -510,10 +513,35 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                        & (n_cell[cellpos] >= minarea) & ~dominant)
         key_c = jnp.where(significant, p_c, lab_c)
     elif deblend:
+        # single-cell components can never split: restrict the 31-level
+        # tree machinery to pixels of MULTI-cell components via a second
+        # compaction (typically a small fraction of the detected pixels;
+        # all (L, cap)-sized deblend work shrinks proportionally)
         thresh_c = jnp.where(pok, thresh_map.ravel()[pidx], 1e30)
-        key_c = _deblend_exact(pidx, pok, inv, lab_c, comppos, cellpos,
-                               filt_c, pos_c, thresh_c, nbr_pos, nbr_ok,
-                               DEBLEND_NTHRESH, DEBLEND_MINCONT)
+        is_peak = pok & (cellpos == posidx)
+        ncell_comp = jax.ops.segment_sum(is_peak.astype(jnp.int32),
+                                         comppos, num_segments=cap)
+        multi = pok & (ncell_comp[comppos] >= 2)
+        cap2 = min(cap, max(1 << 14, cap // 4))
+        nmulti = jnp.sum(multi.astype(jnp.int32))
+        idx2 = jnp.nonzero(multi, size=cap2, fill_value=cap - 1)[0]
+        pok2 = jnp.arange(cap2) < jnp.minimum(nmulti, cap2)
+        inv2 = jnp.zeros(cap, jnp.int32).at[idx2].set(
+            jnp.arange(cap2, dtype=jnp.int32))
+        pidx2 = jnp.where(pok2, pidx[idx2], H * W - 1)
+        multi_at = multi[nbr_pos]                        # (8, cap)
+        nbr_pos2 = inv2[nbr_pos[:, idx2]]
+        nbr_ok2 = (nbr_ok[:, idx2] & multi_at[:, idx2]
+                   & pok2[None])
+        comppos2 = jnp.where(pok2, inv2[comppos[idx2]], cap2 - 1)
+        cellpos2 = jnp.where(pok2, inv2[cellpos[idx2]], cap2 - 1)
+        objdeep2 = _deblend_exact(pidx2, pok2, comppos2, cellpos2,
+                                  filt_c[idx2], pos_c[idx2],
+                                  thresh_c[idx2], nbr_pos2, nbr_ok2,
+                                  DEBLEND_NTHRESH, DEBLEND_MINCONT)
+        key_full = jnp.zeros(cap, jnp.int32).at[idx2].set(
+            jnp.where(pok2, objdeep2, 0))
+        key_c = jnp.where(multi, key_full, lab_c)
         key_c = jnp.where(pok, key_c, H * W - 1)
     else:
         key_c = lab_c
@@ -533,12 +561,10 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     # (each per-pixel segment reduction costs ~10 ms on v5e; a multi-
     # operand sort costs one pass and every statistic becomes a ~0.3 ms
     # associative scan)
-    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
-                          jnp.arange(W, dtype=jnp.float32), indexing='ij')
     vals = gat(img)                      # (cap,) detection-image values
     pos = jnp.maximum(vals, 0.0)
-    pxx = gat(xx)
-    pyy = gat(yy)
+    pxx = (pidx % W).astype(jnp.float32)
+    pyy = (pidx // W).astype(jnp.float32)
     m32 = gat(mask).astype(jnp.int32)
     wnot = jnp.where(gat(weight_ok), 0, 1)
     thr_c2 = gat(thresh_map)
