@@ -30,7 +30,7 @@ def main():
     from zuds_tpu.parallel.pipeline import make_subtract_detect_pipeline
     from __graft_entry__ import _synth_inputs
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     H, W = 3080, 3072
     # PARITY configuration: kernel spatial order 4 over 3x3 regions — the
     # reference's hotpants invocation (-ko 4 -nrx 3 -nry 3,
@@ -41,7 +41,8 @@ def main():
     # per region).
     from zuds_tpu.constants import KERNEL_SPATIAL_ORDER
     cfg = PipelineConfig(height=H, width=W, ksize=15, stamp=41, smax=384,
-                         order=KERNEL_SPATIAL_ORDER, nreg=3, max_det=1024)
+                         order=KERNEL_SPATIAL_ORDER, nreg=3, max_det=1024,
+                         interleave=2 if B % 2 == 0 else 1)
 
     pipe = make_subtract_detect_pipeline(cfg)
 

@@ -163,3 +163,21 @@ def test_coadd_pipeline(rng):
 if __name__ == '__main__':
     _run_sharded_pipeline(np.random.default_rng(8675309))
     print('SHARDED PIPELINE OK')
+
+
+def test_interleave_matches_sequential(rng):
+    """interleave=2 (XLA-overlapped frame pairs) produces identical
+    outputs to the sequential map."""
+    inputs, _ = synth_batch(rng, 4)
+    args = [jnp.asarray(inputs[k]) for k in
+            ['sci', 'sci_mask', 'ref', 'ref_mask', 'grid_u', 'grid_v',
+             'stamp_x', 'stamp_y', 'stamp_valid', 'basis_gx', 'basis_gy',
+             'basis_sums', 'b0']]
+    from dataclasses import replace
+    p1 = make_subtract_detect_pipeline(CFG)
+    p2 = make_subtract_detect_pipeline(replace(CFG, interleave=2))
+    o1 = jax.block_until_ready(p1(*args))
+    o2 = jax.block_until_ready(p2(*args))
+    np.testing.assert_allclose(np.asarray(o1['diff']),
+                               np.asarray(o2['diff']), rtol=1e-6)
+    assert (np.asarray(o1['det_valid']) == np.asarray(o2['det_valid'])).all()

@@ -196,3 +196,23 @@ def test_box_mask_or():
             for dx in range(2 * reach + 1):
                 brute |= mp[dy:dy + 40, dx:dx + 50]
         assert (out == brute).all(), reach
+
+
+def test_warp_shift_image_matches_masked(rng):
+    """Maskless shift warp == the fused variant's image/coverage outputs."""
+    import jax.numpy as jnp
+    from zuds_tpu.ops.resample import (warp_shift_image,
+                                       warp_shift_image_mask)
+
+    H, W = 40, 160
+    img = rng.normal(50, 5, (H, W)).astype('f4')
+    yy, xx = np.mgrid[0:H, 0:W].astype('f4')
+    u = xx - 2.3 + 0.01 * yy
+    v = yy + 1.1
+    a, cov_a = warp_shift_image(jnp.asarray(img), jnp.asarray(u),
+                                jnp.asarray(v), window=4)
+    b, _, cov_b = warp_shift_image_mask(
+        jnp.asarray(img), jnp.zeros((H, W), jnp.uint32),
+        jnp.asarray(u), jnp.asarray(v), window=4)
+    assert (np.asarray(cov_a) == np.asarray(cov_b)).all()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

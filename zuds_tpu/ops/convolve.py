@@ -15,14 +15,41 @@ DEFAULT_FILTER = np.array([[1.0, 2.0, 1.0],
                            [1.0, 2.0, 1.0]]) / 16.0
 
 
-def conv2_same(img, kernel):
-    """Direct 2-D 'same' convolution (small kernels; XLA conv on MXU/VPU)."""
-    img = img[None, None, :, :]
-    k = jnp.asarray(kernel, dtype=img.dtype)[None, None, :, :]
+def conv2_same(img, kernel, max_taps=49):
+    """Direct 2-D 'same' convolution.
+
+    Small kernels run as unrolled shift-FMA taps (zero-padded static
+    slices): XLA's conv_general_dilated runs ~1000x below peak at
+    quadrant scale on the TPU target (a single 3x3 conv costs tens of ms;
+    9 shifted FMAs cost ~2 ms). Kernels above ``max_taps`` fall back to
+    the XLA conv.
+    """
+    try:
+        k = np.asarray(kernel, dtype=np.float32)
+        static = True
+    except Exception:          # traced kernel: weights not known at trace
+        k = kernel
+        static = False
+    kh, kw = k.shape
+    if static and kh * kw <= max_taps:
+        H, W = img.shape
+        ry0, ry1 = kh // 2, (kh - 1) // 2
+        rx0, rx1 = kw // 2, (kw - 1) // 2
+        pad = jnp.pad(img, ((ry0, ry1), (rx0, rx1)))
+        out = jnp.zeros_like(img)
+        for dy in range(kh):
+            for dx in range(kw):
+                w = float(k[dy, dx])
+                if w == 0.0:
+                    continue
+                out = out + w * jax.lax.dynamic_slice(
+                    pad, (dy, dx), (H, W))
+        return out
+    img4 = img[None, None, :, :]
+    k4 = jnp.asarray(k, dtype=img.dtype)[None, None, :, :]
     out = jax.lax.conv_general_dilated(
-        img, k, window_strides=(1, 1),
-        padding=[(k.shape[2] // 2, (k.shape[2] - 1) // 2),
-                 (k.shape[3] // 2, (k.shape[3] - 1) // 2)],
+        img4, k4, window_strides=(1, 1),
+        padding=[(kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2)],
         dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
         precision=jax.lax.Precision.HIGH)
     return out[0, 0]

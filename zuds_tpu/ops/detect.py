@@ -382,8 +382,9 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     """
     H, W = bkgsub.shape
     if kernel is None:
+        # keep the default filter as STATIC numpy: conv2_same then unrolls
+        # it into shift-FMA taps (XLA convs are pathologically slow here)
         kernel = DEFAULT_FILTER
-    kernel = jnp.asarray(kernel, dtype=bkgsub.dtype)
     if weight_ok is None:
         weight_ok = jnp.ones((H, W), dtype=bool)
     if mask is None:

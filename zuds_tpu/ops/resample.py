@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ['upsample_mapping', 'warp_image', 'warp_mask', 'warp_image_mask',
-           'box_mask_or', 'lanczos3', 'plan_warp', 'warp_planned']
+           'box_mask_or', 'lanczos3', 'plan_warp', 'warp_planned',
+           'warp_shift_image']
 
 SUPPORT = 3  # Lanczos order: 6 taps per axis
 
@@ -232,6 +233,45 @@ def warp_shift_image_mask(img, mask, u, v, window=4):
     out = acc / jnp.where(wacc == 0, 1.0, wacc)
     cov = inb.astype(jnp.float32)
     return out * cov, jnp.where(inb, macc, 0).astype(mask.dtype), cov
+
+
+@partial(jax.jit, static_argnames=('window',))
+def warp_shift_image(img, u, v, window=4):
+    """Maskless shift-accumulate Lanczos-3 warp (see
+    warp_shift_image_mask). The mask taps in the fused variant live in
+    the lax.scan CARRY, so XLA cannot dead-code them when the caller
+    ignores the mask output (~100+ ms of integer tap work per quadrant) —
+    callers that propagate masks separately (box_mask_or) use this one.
+    Returns (warped, coverage)."""
+    H, W = img.shape
+    yy = jnp.arange(H, dtype=u.dtype)[:, None]
+    xx = jnp.arange(W, dtype=u.dtype)[None, :]
+    du = u - xx
+    dv = v - yy
+    inb = ((u >= SUPPORT - 1) & (u <= W - SUPPORT)
+           & (v >= SUPPORT - 1) & (v <= H - SUPPORT))
+
+    lo = -(window + SUPPORT)
+    hi = window + SUPPORT
+    wx = jnp.stack([lanczos3(du - dx) for dx in range(lo, hi + 1)])
+    wxsum = jnp.sum(wx, axis=0)
+    dys = jnp.arange(lo, hi + 1)
+
+    def row_taps(carry, dy):
+        acc, wacc = carry
+        wy = lanczos3(dv - dy)
+        simg_row = jnp.roll(img, -dy, axis=0)
+        for j, dx in enumerate(range(lo, hi + 1)):
+            acc = acc + jnp.roll(simg_row, -dx, axis=1) * (wx[j] * wy)
+        wacc = wacc + wxsum * wy
+        return (acc, wacc), None
+
+    init = (jnp.zeros(img.shape, dtype=jnp.float32),
+            jnp.zeros(img.shape, dtype=jnp.float32))
+    (acc, wacc), _ = jax.lax.scan(row_taps, init, dys)
+    out = acc / jnp.where(wacc == 0, 1.0, wacc)
+    cov = inb.astype(jnp.float32)
+    return out * cov, cov
 
 
 @jax.jit

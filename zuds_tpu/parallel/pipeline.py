@@ -24,7 +24,8 @@ from ..constants import (BAD_SUM, BKG_VAL, BKG_BOX_SIZE, DETECT_NSIGMA,
                          MASK_BIT_NODATA_ALIGN, MASK_BIT_NODATA_SUB,
                          SUB_NODATA_SENTINEL, BIG_RMS)
 from ..ops.resample import (upsample_mapping, warp_image_mask,
-                            warp_shift_image_mask, box_mask_or)
+                            warp_shift_image_mask, warp_shift_image,
+                            box_mask_or)
 from ..ops.background import background_mesh
 from ..ops.detect import detect_sources
 from ..ops.photometry import aperture_photometry_batched
@@ -59,6 +60,10 @@ class PipelineConfig:
     # detect_sources deblend mode: True (exact 32-level tree),
     # 'watershed', or False
     deblend: object = True
+    # frames per sequential step: >1 lets XLA overlap independent stages
+    # of consecutive frames (one frame's VPU warp with another's MXU fit);
+    # B must divide by it
+    interleave: int = 1
     # profiling knob (tools/bisect_pipeline.py): truncate the program after
     # 'warp' | 'bkg' | 'fit' | 'apply' | 'noise' | 'detect'; returns only
     # {'diff': <last full-frame product>} for stage timing
@@ -93,8 +98,7 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
         # mask output is DCE'd by XLA (it was ~70% of the warp cost).
         # mask warp: conservative box OR over the full displacement+support
         # reach — a strict superset of the per-tap significant-weight OR.
-        refw, _, cov = warp_shift_image_mask(
-            ref, ref_mask.astype(jnp.uint32), u, v, window=cfg.max_shift)
+        refw, cov = warp_shift_image(ref, u, v, window=cfg.max_shift)
         refm = box_mask_or(ref_mask.astype(jnp.uint32),
                            reach=cfg.max_shift + 3)
         refm = jnp.where(cov > 0, refm, jnp.uint32(0))
@@ -201,7 +205,20 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
     # dynamic-slice stages turns them into full-frame gathers (measured
     # +690 ms/frame at quadrant scale, tools/profile_stages.py r2)
     def batched(*args):
-        return jax.lax.map(lambda a: one_frame(*a), args)
+        il = max(1, int(cfg.interleave))
+        if il == 1:
+            return jax.lax.map(lambda a: one_frame(*a), args)
+        B = args[0].shape[0]
+        assert B % il == 0, (B, il)
+        resh = tuple(a.reshape((B // il, il) + a.shape[1:]) for a in args)
+
+        def step(carry, fr):
+            outs = [one_frame(*[a[i] for a in fr]) for i in range(il)]
+            return carry, jax.tree.map(lambda *x: jnp.stack(x), *outs)
+
+        _, out = jax.lax.scan(step, 0, resh)
+        return jax.tree.map(
+            lambda x: x.reshape((B,) + x.shape[2:]), out)
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
