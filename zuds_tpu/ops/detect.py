@@ -182,18 +182,19 @@ def _label_masked(pidx, active, nbr_pos, nbr_ok, pos_of, rounds=12):
                     & jnp.take(act, nbr_pos[k], axis=1)
                     for k in range(8)])                      # (8, L, cap)
 
-    def body(_, l):
+    # fully unrolled (python loops, no fori): while-loop carries force
+    # per-iteration copies of every (L, cap) operand through the loop
+    # boundary (~80 ms/round observed in device traces); the unrolled
+    # chain fuses as straight-line vector code
+    l = l0
+    for _ in range(rounds):
         ln = l
         for k in range(8):
             cand = jnp.take(l, nbr_pos[k], axis=1)
             ln = jnp.minimum(ln, jnp.where(ok[k], cand, l))
-
-        def compress(_, lc):
-            return jnp.minimum(lc, jnp.take_along_axis(lc, lc, axis=1))
-
-        return jax.lax.fori_loop(0, 8, compress, ln)
-
-    l = jax.lax.fori_loop(0, rounds, body, l0)
+        for _c in range(3):
+            ln = jnp.minimum(ln, jnp.take_along_axis(ln, ln, axis=1))
+        l = ln
     out = jnp.where(act, pidx[l], INT_MAX)
     return out[0] if squeeze else out
 
@@ -288,18 +289,19 @@ def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
                     & jnp.take(active, nbr_pos[k], axis=1)
                     for k in range(8)])
 
-    def body(_, l):
-        ln = l
+    # fully unrolled hook+compress (fori/while carries copy every (L, cap)
+    # operand across the loop boundary — ~85 ms/step in device traces);
+    # 3 rounds suffice with the cell-peak init (the per-level component
+    # graph over CELLS has tiny diameter)
+    labp = lab0
+    for _ in range(3):
+        ln = labp
         for k in range(8):
-            cand = jnp.take(l, nbr_pos[k], axis=1)
-            ln = jnp.minimum(ln, jnp.where(ok[k], cand, l))
-
-        def compress(_, lc):
-            return jnp.minimum(lc, jnp.take_along_axis(lc, lc, axis=1))
-
-        return jax.lax.fori_loop(0, 4, compress, ln)
-
-    labp = jax.lax.fori_loop(0, 4, body, lab0)               # (L, cap) pos
+            cand = jnp.take(labp, nbr_pos[k], axis=1)
+            ln = jnp.minimum(ln, jnp.where(ok[k], cand, labp))
+        for _c in range(3):
+            ln = jnp.minimum(ln, jnp.take_along_axis(ln, ln, axis=1))
+        labp = ln                                            # (L, cap) pos
 
     # ---- compact the watershed cells --------------------------------------
     ccap = min(cap, 8192)
@@ -443,8 +445,9 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     lnn = lab_p
     for k in range(8):
         lnn = jnp.minimum(lnn, jnp.where(okb[k], lab_p[nbr_pos[k]], lab_p))
-    lab_p = jax.lax.fori_loop(
-        0, 6, lambda _, lc: jnp.minimum(lc, lc[lc]), lnn)
+    lab_p = lnn
+    for _c in range(6):
+        lab_p = jnp.minimum(lab_p, lab_p[lab_p])
     lab_c = jnp.where(pok, pidx[lab_p], H * W - 1)
     comppos = jnp.where(pok, lab_p, cap - 1)
 

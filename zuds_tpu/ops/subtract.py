@@ -161,6 +161,11 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
     R_s = jax.vmap(lambda a, b: cutout(ref, a, b))(x0, y0)      # (S, P, P)
     S_s = jax.vmap(lambda a, b: cutout(sci, a, b))(x0, y0)
     W_s = jax.vmap(lambda a, b: cutout(ivar, a, b))(x0, y0)
+    # keep the cutout stamps OUT of the basis-convolution fusion: XLA
+    # otherwise fuses the vmapped slices into a full-frame-height
+    # convolution ((3080, 8, 384, 49) intermediates, ~78 ms in device
+    # traces)
+    R_s, S_s, W_s = jax.lax.optimization_barrier((R_s, S_s, W_s))
 
     # basis-convolved reference stamps: C (S, Nb, Pi, Pi), via the separable
     # trick run as one grouped conv per 1-D pass
