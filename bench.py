@@ -16,10 +16,131 @@ photometry of every candidate. Two distinct input batches alternate to
 defeat cross-call caching.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _write_bench_frames(d, npairs, H, W, seed=7):
+    """Synthetic full-quadrant FITS pairs on disk (cached across runs)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'tests'))
+    from zuds_tpu.wcs import TPVWCS
+    from zuds_tpu.fits import Header, HDU, write_fits
+
+    marker = os.path.join(d, f'.done_{npairs}_{H}x{W}_{seed}')
+    ref_path = os.path.join(d, 'bench_ref_sciimg.fits')
+    paths = [os.path.join(d, f'bench_n{i}_sciimg.fits')
+             for i in range(npairs)]
+    if os.path.exists(marker):
+        return ref_path, paths
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    scale = 1.01 / 3600.0
+    nstars = 700
+    xs = rng.uniform(40, W - 40, nstars)
+    ys = rng.uniform(40, H - 40, nstars)
+    fluxes = rng.uniform(5000, 50000, nstars)
+
+    def render(px, py, seeing, extra=None):
+        img = np.full((H, W), 150.0, dtype='f4')
+        sig = seeing / 2.355
+        k = 12
+        yy, xx = np.mgrid[-k:k + 1, -k:k + 1]
+        stars = list(zip(px, py, fluxes))
+        if extra:
+            stars.append(extra)
+        for x, y, f in stars:
+            xi, yi = int(round(x)), int(round(y))
+            if not (k < xi < W - k - 1 and k < yi < H - k - 1):
+                continue
+            psf = np.exp(-((xx + xi - x) ** 2 + (yy + yi - y) ** 2)
+                         / (2 * sig * sig)) / (2 * np.pi * sig * sig)
+            img[yi - k:yi + k + 1, xi - k:xi + k + 1] += (f * psf
+                                                          ).astype('f4')
+        img += rng.normal(0, 5.0, (H, W)).astype('f4')
+        return img
+
+    def write(path, data, wcs, mjd, seeing):
+        h = Header()
+        wcs.to_header(h)
+        h.set('MAGZP', 26.3)
+        h.set('OBSMJD', mjd)
+        h.set('FIELDID', 679)
+        h.set('CCDID', 1)
+        h.set('QID', 2)
+        h.set('FILTERID', 2)
+        h.set('SATURATE', 60000.0)
+        h.set('SEEING', seeing)
+        h.set('FILENAME', os.path.basename(path))
+        write_fits(path, [HDU(h, data)])
+        write_fits(path.replace('sciimg', 'mskimg'),
+                   [HDU(h.copy(), np.zeros(data.shape, np.uint16))])
+
+    wcs_sci = TPVWCS.simple(crval=(150.1, 35.2),
+                            crpix=(W / 2 + 0.5, H / 2 + 0.5),
+                            scale_deg=scale)
+    wcs_ref = TPVWCS.simple(crval=(150.1, 35.2),
+                            crpix=(W / 2 + 2.1, H / 2 - 1.7),
+                            scale_deg=scale)
+    ra, dec = wcs_sci.pix2sky_0(xs, ys)
+    rx, ry = wcs_ref.sky2pix_0(ra, dec)
+    write(ref_path, render(rx, ry, 1.6), wcs_ref, 58300.0, 1.6)
+    for i, p in enumerate(paths):
+        t = (500.0 + 257 * i, 600.0 + 193 * i, 30000.0)
+        write(p, render(xs, ys, 2.3, extra=t), wcs_sci, 58345.0 + 0.01 * i,
+              2.3)
+    open(marker, 'w').close()
+    return ref_path, paths
+
+
+def main_files(npairs=6, batch=2):
+    """files -> catalog throughput: the REAL unit of work (ingest FITS from
+    disk, align+subtract+detect+photometer on device, build catalogs) —
+    what BASELINE.md's ~1.1 q/s/node measures for the reference. Uses the
+    production night driver (scripts/donight.py). ML scoring off (braai
+    weights are an external artifact, as in the reference)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'scripts'))
+    from donight import run_night
+    from zuds_tpu.constants import KERNEL_SPATIAL_ORDER
+    from zuds_tpu.parallel import PipelineConfig
+    from zuds_tpu.parallel.pipeline import make_subtract_detect_pipeline
+
+    H, W = 3080, 3072
+    d = '/tmp/zuds-bench-files'
+    ref_path, paths = _write_bench_frames(d, npairs, H, W)
+    cfg = PipelineConfig(height=H, width=W, ksize=15, stamp=41, smax=384,
+                         order=KERNEL_SPATIAL_ORDER, nreg=3, max_det=1024,
+                         interleave=2 if batch % 2 == 0 else 1)
+    pipe = make_subtract_detect_pipeline(cfg)
+    work = [f'{p} {ref_path}' for p in paths]
+
+    # warmup (compile + caches) on the first batch
+    t0 = time.time()
+    run_night(work[:batch], batch=batch, ml=False, db=False, cfg=cfg,
+              pipe=pipe)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    res = run_night(work, batch=batch, ml=False, db=False, cfg=cfg,
+                    pipe=pipe)
+    elapsed = time.time() - t0
+    nok = sum(1 for _, r in res if not isinstance(r, Exception))
+    qps = len(work) / elapsed
+    result = {
+        'metric': 'ZTF quadrants/sec/chip, FILES->catalog through the '
+                  'batched night driver (FITS ingest + align + subtract '
+                  '+ detect + phot + catalog, 3080x3072, A&L 3x3 order 4)',
+        'value': round(qps, 3),
+        'unit': 'quadrants/sec/chip',
+        'vs_baseline': round(qps / 1.1, 2),
+    }
+    print(json.dumps(result))
+    print(f'# pairs={len(work)} ok={nok} elapsed={elapsed:.2f}s '
+          f'warmup={compile_s:.1f}s', file=sys.stderr)
 
 
 def main():
@@ -81,4 +202,8 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if '--files' in sys.argv:
+        args = [a for a in sys.argv[1:] if a != '--files']
+        main_files(npairs=int(args[0]) if args else 6)
+    else:
+        main()

@@ -26,11 +26,14 @@ MIN_CLUSTER = 2
 def cluster_positions(ra, dec, radius_deg=MATCH_RADIUS_DEG):
     """Single-linkage clustering at ``radius_deg``: returns labels (N,).
 
-    Union-find over a GRID-HASHED pair graph: points bucket into
-    radius-sized tangent-plane cells and only the 3x3 neighborhood is
-    examined — O(N + E) total, where the previous dec-band scan was
-    O(N^2) for a night's worth of detections concentrated in declination
-    (VERDICT r1 weak 7). Equivalent to DBSCAN(eps=radius, min_samples=1)
+    Union-find over a GRID-HASHED pair graph on 3-D unit vectors: two
+    points within angular distance r have chord (Euclidean) distance
+    <= 2*sin(r/2), so hashing into cubic cells of that side and examining
+    the 3x3x3 neighborhood finds every candidate pair — exact at all
+    declinations and wrap-safe at the RA antimeridian and the poles
+    (a tangent-plane hash keyed off the median dec is not: pairs far
+    from the median dec land >1 cell apart and are never compared).
+    O(N + E) total. Equivalent to DBSCAN(eps=radius, min_samples=1)
     cluster membership, matching the reference's sparse-matrix DBSCAN
     association (nersc/makesources.py:303-340).
     """
@@ -51,22 +54,23 @@ def cluster_positions(ra, dec, radius_deg=MATCH_RADIUS_DEG):
 
     if n == 0:
         return parent
-    dec0 = float(np.median(dec))
-    cosd = max(np.cos(np.radians(dec0)), 1e-6)
-    ra0 = float(np.median(ra))
-    u = (np.mod(ra - ra0 + 180.0, 360.0) - 180.0) * cosd
-    v = np.asarray(dec, float)
-    cell = radius_deg
+    ra_r = np.radians(np.asarray(ra, float))
+    dec_r = np.radians(np.asarray(dec, float))
+    cosd = np.cos(dec_r)
+    xyz = np.stack([cosd * np.cos(ra_r), cosd * np.sin(ra_r),
+                    np.sin(dec_r)], axis=1)
+    # chord length subtended by radius_deg on the unit sphere
+    cell = 2.0 * np.sin(np.radians(radius_deg) / 2.0)
     buckets = {}
-    keys = np.stack([np.floor(u / cell).astype(int),
-                     np.floor(v / cell).astype(int)], axis=1)
+    keys = np.floor(xyz / cell).astype(int)
     for i, key in enumerate(map(tuple, keys)):
         buckets.setdefault(key, []).append(i)
-    for (ci, cj), members in buckets.items():
+    for (ci, cj, ck), members in buckets.items():
         cand = []
         for di in (-1, 0, 1):
             for dj in (-1, 0, 1):
-                cand.extend(buckets.get((ci + di, cj + dj), ()))
+                for dk in (-1, 0, 1):
+                    cand.extend(buckets.get((ci + di, cj + dj, ck + dk), ()))
         for i in members:
             for j in cand:
                 if j <= i:

@@ -1,0 +1,288 @@
+#!/usr/bin/env python
+"""Batched night worker — the production consumer of the fused pipeline.
+
+Where ``scripts/dosub.py`` runs the per-pair chain (one device program per
+stage per image — the reference's rank loop shape,
+``/root/reference/scripts/dosub.py:202-211``), this driver maps the rank's
+work list through:
+
+  C++ Prefetcher (double-buffered FITS reads, ``native/zuds_fits.cpp``)
+    -> prepare_frame_inputs (mapping grid, device stamp selection, basis)
+    -> make_subtract_detect_pipeline (ONE jitted program per batch:
+       align + background + A&L fit + subtract + detect + photometer)
+    -> catalog (from pipeline outputs, no re-detection) -> filter + braai
+    -> Detection rows + thumbnails -> DB commit.
+
+Pairs whose shapes don't match the compiled bucket, or any pair that fails
+inside the batched path, fall back to the per-pair ``dosub.do_one`` chain —
+the reference's one-image recovery granularity (SURVEY §5).
+
+Reference sizing: 960-image slurm jobs, 64 ranks/node
+(``/root/reference/nersc/controller.py:21,286-307``).
+"""
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+
+import zuds_tpu as zuds
+from zuds_tpu.mpi import get_my_share_of_work
+
+MAX_DETS = 50  # image-quality guard (reference: scripts/dosub.py:14)
+
+
+class NightLoader:
+    """FITS loader with optional native prefetch pool.
+
+    ``submit(path)`` queues a read; ``get(ticket)`` blocks for its HDU.
+    Falls back to synchronous python-codec reads when the native library
+    is not built (ticket == path).
+    """
+
+    def __init__(self, workers=4):
+        self._pf = None
+        try:
+            from zuds_tpu.fits.native import available, build, Prefetcher
+            if not available():
+                build()
+            if available():
+                self._pf = Prefetcher(workers=workers)
+        except Exception:
+            self._pf = None
+
+    @property
+    def native(self):
+        return self._pf is not None
+
+    def submit(self, path):
+        if self._pf is not None:
+            return self._pf.submit(path)
+        return path
+
+    def get(self, ticket):
+        if self._pf is not None:
+            return self._pf.get(ticket)
+        from zuds_tpu.fits.io import read_fits
+        hdus = read_fits(ticket)
+        return next(h for h in hdus if h.data is not None)
+
+    def close(self):
+        if self._pf is not None:
+            self._pf.close()
+
+
+def _sibling_mask_path(path):
+    """Mask file next to a science/reference frame, if present."""
+    for cand in (path.replace('sciimg', 'mskimg'),
+                 path.replace('.fits', '.mask.fits')):
+        if cand != path and os.path.exists(cand):
+            return cand
+    return None
+
+
+def _image_from_hdu(cls, path, hdu, mask_hdu=None):
+    """Build an image object from an in-memory HDU (no re-read)."""
+    from zuds_tpu.mask import MaskImage
+
+    obj = cls()
+    obj.header = hdu.header
+    obj.data = np.ascontiguousarray(hdu.data)
+    obj.basename = os.path.basename(path)
+    obj.map_to_local_file(path)
+    h = hdu.header
+    obj.field = h.get('FIELDID')
+    obj.ccdid = h.get('CCDID')
+    obj.qid = h.get('QID')
+    obj.fid = h.get('FILTERID')
+    if mask_hdu is not None:
+        m = MaskImage()
+        m.header = mask_hdu.header
+        m.data = np.ascontiguousarray(mask_hdu.data)
+        m.basename = os.path.basename(path).replace('.fits', '.mask.fits')
+        m.parent_image = obj
+        obj.mask_image = m
+    return obj
+
+
+def _load_pair(loader, tickets, sci_path, ref_path):
+    from zuds_tpu.image import ScienceImage
+    from zuds_tpu.coadd import ReferenceImage
+
+    t_sci, t_scimask, t_ref, t_refmask = tickets
+    sci = _image_from_hdu(
+        ScienceImage, sci_path, loader.get(t_sci),
+        loader.get(t_scimask) if t_scimask is not None else None)
+    ref = _image_from_hdu(
+        ReferenceImage, ref_path, loader.get(t_ref),
+        loader.get(t_refmask) if t_refmask is not None else None)
+    return sci, ref
+
+
+def _commit_frame(sci, ref, pout, b, cfg, ml=True, db=True):
+    """Assemble products + catalog + detections for one batched frame and
+    commit, mirroring ``dosub.do_one`` (reference scripts/dosub.py:26-187).
+    Returns (sub, detections)."""
+    from zuds_tpu.subtraction import SingleEpochSubtraction
+    from zuds_tpu.catalog import PipelineFITSCatalog
+    from zuds_tpu.detections import Detection
+    from zuds_tpu.thumbnails import Thumbnail
+    from zuds_tpu.core import DBSession, record_from_image
+
+    diff = np.asarray(pout['diff'][b])
+    rms = np.asarray(pout['rms'][b])
+    submask = np.asarray(pout['submask'][b]).astype(np.uint32)
+    sub = SingleEpochSubtraction.assemble(
+        sci, ref, diff, rms, submask, method='hotpants-fused',
+        spatial_order=cfg.order, nreg_side=cfg.nreg)
+    # detect ran on the diff inside the pipeline: seed the product cache
+    # so the catalog/filter stages don't recompute a background mesh
+    sub._set_product('_bkgimg', np.zeros_like(diff))
+    sub._set_product('_bkgsubimg', diff)
+    sub._set_product('_rmsimg', rms)
+
+    cat = PipelineFITSCatalog.from_pipeline(sub, pout, frame=b)
+    zuds.filter_sexcat(cat, ml=ml)
+    detections = Detection.from_catalog(cat, filter=True)
+    if len(detections) > MAX_DETS:
+        raise RuntimeError(
+            f'{sub.basename}: {len(detections)} detections exceeds '
+            f'MAX_DETS={MAX_DETS}; bad image quality')
+
+    if db:
+        sess = DBSession()
+        if sess.conn is not None:
+            rec = record_from_image(sub, 'sesub')
+            rec.target_id = getattr(sci, 'id', None)
+            rec.reference_id = getattr(ref, 'id', None)
+            sess.add(rec)
+            sess.commit()
+            for d in detections:
+                d.image_id = rec.id
+                sess.add(d)
+            sess.commit()
+            for d in detections:
+                for stamp_type, img in [('sub', sub), ('new', sci),
+                                        ('ref', ref)]:
+                    sess.add(Thumbnail.from_detection(
+                        d, img, stamp_type=stamp_type))
+            sess.commit()
+    return sub, detections
+
+
+def run_night(work, batch=4, ml=True, db=True, cfg=None, loader=None,
+              pipe=None):
+    """Process "scipath refpath" work lines through the batched pipeline.
+
+    Returns per-pair result tuples (sci_path, n_detections | Exception).
+    ``pipe``: optionally a pre-built pipeline (shares the compiled program
+    across calls — bench.py --files separates compile from steady state).
+    """
+    import jax.numpy as jnp
+    from zuds_tpu.constants import KERNEL_SPATIAL_ORDER
+    from zuds_tpu.parallel import PipelineConfig
+    from zuds_tpu.parallel.pipeline import (make_subtract_detect_pipeline,
+                                            prepare_frame_inputs)
+
+    work = [str(w).split() for w in work]
+    own_loader = loader is None
+    if own_loader:
+        loader = NightLoader()
+    results = []
+    if cfg is None:
+        cfg = PipelineConfig(height=3080, width=3072, ksize=15, stamp=41,
+                             smax=384, order=KERNEL_SPATIAL_ORDER, nreg=3,
+                             max_det=1024)
+
+    ARG_KEYS = ['sci', 'sci_mask', 'ref', 'ref_mask', 'grid_u', 'grid_v',
+                'stamp_x', 'stamp_y', 'stamp_valid', 'basis_gx', 'basis_gy',
+                'basis_sums', 'b0']
+
+    def fallback(sci_path, ref_path):
+        """Per-pair chain (the reference's rank-loop granularity)."""
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import dosub
+        sub, dets = dosub.do_one(f'{sci_path} {ref_path}', ml=ml)
+        return len(dets)
+
+    try:
+        # submit the whole window up front: the prefetch pool overlaps
+        # disk reads + byteswap with device compute across batches
+        tickets = []
+        for sci_path, ref_path in work:
+            sm = _sibling_mask_path(sci_path)
+            rm = _sibling_mask_path(ref_path)
+            tickets.append((loader.submit(sci_path),
+                            loader.submit(sm) if sm else None,
+                            loader.submit(ref_path),
+                            loader.submit(rm) if rm else None))
+
+        for b0 in range(0, len(work), batch):
+            chunk = list(range(b0, min(b0 + batch, len(work))))
+            frames, meta = [], []
+            for i in chunk:
+                sci_path, ref_path = work[i]
+                try:
+                    sci, ref = _load_pair(loader, tickets[i], sci_path,
+                                          ref_path)
+                    if sci.data.shape != (cfg.height, cfg.width):
+                        raise ValueError(
+                            f'shape {sci.data.shape} != pipeline bucket')
+                    inputs = prepare_frame_inputs(sci, ref, cfg)
+                    frames.append(inputs)
+                    meta.append((i, sci, ref))
+                except Exception as e:
+                    traceback.print_exc()
+                    try:
+                        n = fallback(sci_path, ref_path)
+                        results.append((sci_path, n))
+                    except Exception as e2:
+                        results.append((sci_path, e2))
+            if not frames:
+                continue
+            # pad the final partial batch by repeating the last frame (the
+            # program is compiled for a fixed batch; padded outputs are
+            # dropped — meta only holds real frames)
+            while len(frames) < batch:
+                frames.append(frames[-1])
+            if pipe is None:
+                pipe = make_subtract_detect_pipeline(cfg)
+            t0 = time.time()
+            args = [jnp.asarray(np.stack([f[k] for f in frames]))
+                    for k in ARG_KEYS]
+            pout = pipe(*args)
+            pout = {k: np.asarray(v) for k, v in pout.items()}
+            dt = time.time() - t0
+            print(f'batch of {len(meta)}: device {dt:.2f}s '
+                  f'({len(meta) / dt:.2f} q/s)', flush=True)
+            for bi, (i, sci, ref) in enumerate(meta):
+                sci_path = work[i][0]
+                try:
+                    sub, dets = _commit_frame(sci, ref, pout, bi, cfg,
+                                              ml=ml, db=db)
+                    results.append((sci_path, len(dets)))
+                except Exception:
+                    traceback.print_exc()
+                    try:
+                        results.append((sci_path,
+                                        fallback(*work[i])))
+                    except Exception as e2:
+                        results.append((sci_path, e2))
+    finally:
+        if own_loader:
+            loader.close()
+    return results
+
+
+if __name__ == '__main__':
+    work = get_my_share_of_work(sys.argv[1])
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    res = run_night(work, batch=batch)
+    nok = sum(1 for _, r in res if not isinstance(r, Exception))
+    print(f'donight: {nok}/{len(res)} pairs OK', flush=True)
+    for path, r in res:
+        if isinstance(r, Exception):
+            print(f'  FAILED {path}: {r}', flush=True)

@@ -158,6 +158,9 @@ def sync(fetch=fetch_metatable, auth=None, now_jd=None):
     for sci, mask in rows_to_records(rows):
         if sci.basename in existing:
             continue
+        # boundary nights can be fetched in two inclusive NID windows;
+        # track inserts so the second window can't re-insert them
+        existing.add(sci.basename)
         session.add(sci)
         session.add(mask)
         inserted.append((sci, mask))

@@ -232,3 +232,51 @@ def test_clean_removes_wing_spike(rng):
     xs2 = np.array(out2['x'])[v2]
     ys2 = np.array(out2['y'])[v2]
     assert (np.hypot(xs2 - 94, ys2 - 64) < 3.0).sum() >= 1
+
+
+def test_quadrant_snake_single_component(rng):
+    """A frame-crossing trail labels as ONE component: the base CCL hook+
+    compress repair iterates to a fixed point (a bounded round count split
+    long diagonal trails; ADVICE r2)."""
+    H, W = 256, 256
+    img = np.zeros((H, W), dtype='f4')
+    # bright serpentine trail spanning the frame: path length >> 24*2^6/16
+    # (sparse enough that the filtered footprint stays within pixel capacity)
+    for i in range(0, H, 32):
+        img[i, 2:W - 2] = 100.0
+        col = W - 3 if (i // 32) % 2 == 0 else 2
+        img[i:i + 33, col] = 100.0
+    rms = np.ones((H, W), dtype='f4')
+    out = detect_sources(jnp.asarray(img), jnp.asarray(rms),
+                         max_det=64, deblend=False, clean=False)
+    n = int(out['n'])
+    assert n == 1, n
+
+
+def test_deblend_overflow_counter(rng):
+    """Blowing the cap2 multi-cell compaction reports deblend_overflow and
+    falls back to base components instead of silently reassigning pixels
+    to flat index 0 (ADVICE r2 medium)."""
+    H, W = 768, 768
+    img = np.zeros((H, W), dtype='f4')
+    yy, xx = np.mgrid[-3:4, -3:4]
+    bump = 50.0 * np.exp(-(xx ** 2 + yy ** 2) / 4.0).astype('f4')
+    # dense grid of blended PAIRS: every component is multi-cell, so the
+    # multi compaction must hold ~2x npair*49 pixels
+    for y in range(8, H - 8, 12):
+        for x in range(8, W - 16, 16):
+            img[y - 3:y + 4, x - 3:x + 4] += bump
+            img[y - 3:y + 4, x + 2:x + 9] += bump
+    rms = np.ones((H, W), dtype='f4')
+    out = detect_sources(jnp.asarray(img), jnp.asarray(rms),
+                         max_det=512, deblend=True, clean=False,
+                         return_labels=False)
+    assert int(out['deblend_overflow']) > 0
+    flags = np.asarray(out['flags'])[np.asarray(out['valid'])]
+    assert (flags & 64).all()
+    # fallback keeps pixels in their base component: every valid object
+    # centroid must lie inside the frame (flat-index-0 reassignment pulled
+    # footprints toward (0, 0))
+    xs = np.asarray(out['x'])[np.asarray(out['valid'])]
+    ys = np.asarray(out['y'])[np.asarray(out['valid'])]
+    assert (xs > 1).all() and (ys > 1).all()

@@ -30,6 +30,7 @@ CATALOG_DTYPE = [
     ('AWIN_IMAGE', 'f4'), ('BWIN_IMAGE', 'f4'),
     ('ERRAWIN_IMAGE', 'f4'), ('ERRBWIN_IMAGE', 'f4'),
     ('ERRTHETAWIN_IMAGE', 'f4'),
+    ('ERRA_WORLD', 'f8'), ('ERRB_WORLD', 'f8'), ('ERRTHETA_WORLD', 'f8'),
     ('ELONGATION', 'f4'), ('FWHM_IMAGE', 'f4'),
     ('FLUX_ISO', 'f4'), ('FLUX_AUTO', 'f4'), ('FLUXERR_AUTO', 'f4'),
     ('FLUX_APER', 'f4'), ('FLUXERR_APER', 'f4'),
@@ -112,7 +113,6 @@ class PipelineFITSCatalog(File):
                              nsigma=nsigma, max_det=max_det)
         valid = np.array(out['valid'])
         idx = np.nonzero(valid)[0]
-        n = idx.size
 
         xs = np.array(out['x'])[idx]
         ys = np.array(out['y'])[idx]
@@ -120,6 +120,69 @@ class PipelineFITSCatalog(File):
         phot = aperture_photometry_batched(
             jnp.asarray(bkgsub), jnp.asarray(rms), jnp.asarray(mask),
             jnp.asarray(xs.astype('f4')), jnp.asarray(ys.astype('f4')))
+        phot = {k: np.array(v) for k, v in phot.items()}
+
+        obj = cls._build(image, out, idx, phot, bkgsub, rms,
+                         kill_flagged=kill_flagged, nsigma=nsigma)
+
+        # attach the segmentation check-image
+        seg = np.array(out['labels']).astype(np.int32)
+        image._set_product('_segmimg', seg, dtype='i4')
+
+        if image.ismapped:
+            obj.map_to_local_file(os.path.join(
+                os.path.dirname(image.local_path), obj.basename))
+            obj.save()
+        image.catalog = obj
+        return obj
+
+    @classmethod
+    def from_pipeline(cls, image, pout, frame=None, kill_flagged=True,
+                      nsigma=DETECT_NSIGMA):
+        """Catalog from fused-pipeline outputs without re-running detection
+        (the batched night driver's path, ``scripts/donight.py``).
+
+        ``pout``: output dict of ``make_subtract_detect_pipeline``;
+        ``frame``: batch index to select (None when already unbatched).
+        """
+        from .ops.detect import DETECTION_FIELDS
+
+        def sel(a):
+            a = np.asarray(a)
+            return a[frame] if frame is not None else a
+
+        out = {f: sel(pout[f'det_{f}']) for f in DETECTION_FIELDS}
+        out['valid'] = sel(pout['det_valid'])
+        idx = np.nonzero(out['valid'])[0]
+        phot = {k: sel(pout[f'ap_{k}'])[idx]
+                for k in ('flux', 'fluxerr', 'flags')}
+        bkgsub = np.ascontiguousarray(
+            image.background_subtracted_image.data).astype(np.float32)
+        rms = np.ascontiguousarray(image.rms_image.data).astype(np.float32)
+        obj = cls._build(image, out, idx, phot, bkgsub, rms,
+                         kill_flagged=kill_flagged, nsigma=nsigma)
+        if image.ismapped:
+            obj.map_to_local_file(os.path.join(
+                os.path.dirname(image.local_path), obj.basename))
+            obj.save()
+        image.catalog = obj
+        return obj
+
+    @classmethod
+    def _build(cls, image, out, idx, phot, bkgsub, rms, kill_flagged=True,
+               nsigma=DETECT_NSIGMA):
+        """Assemble the structured catalog from detection-op arrays.
+
+        ``out``: detect_sources-style dict of per-row arrays (device or
+        numpy); ``idx``: indices of valid rows; ``phot``: r=3px aperture
+        photometry at the valid rows; ``bkgsub``/``rms``: frames for the
+        windowed refinement pass.
+        """
+        import jax.numpy as jnp
+
+        n = idx.size
+        xs = np.array(out['x'])[idx]
+        ys = np.array(out['y'])[idx]
 
         # refined measurements: windowed centroids + Kron AUTO photometry
         from .ops.measure import refine_detections
@@ -153,8 +216,26 @@ class PipelineFITSCatalog(File):
                          ('peak', 'FLUX_MAX'), ('npix', 'ISOAREA_IMAGE')]:
             cat[dst] = np.array(out[src])[idx]
         cat['THETA_IMAGE'] = np.degrees(np.array(out['theta'])[idx])
-        cat['AWIN_IMAGE'] = cat['A_IMAGE']
-        cat['BWIN_IMAGE'] = cat['B_IMAGE']
+        # windowed shape + positional-uncertainty ellipse (the columns
+        # SCAMP weights its astrometric fit by; reference contract
+        # zuds/astromatic/sextractor.param:6-13)
+        cat['AWIN_IMAGE'] = np.array(ref_meas['awin'])
+        cat['BWIN_IMAGE'] = np.array(ref_meas['bwin'])
+        cat['ERRAWIN_IMAGE'] = np.array(ref_meas['errawin'])
+        cat['ERRBWIN_IMAGE'] = np.array(ref_meas['errbwin'])
+        cat['ERRTHETAWIN_IMAGE'] = np.degrees(
+            np.array(ref_meas['errthetawin']))
+        # WORLD error ellipse via the local pixel scale (the WCS is a
+        # near-conformal tangent projection at ZTF scale, so the error
+        # ellipse rotates rigidly; distortion-induced scale variation is
+        # <1e-3 across a quadrant)
+        try:
+            pixscale_deg = image.wcs.pixel_scale_arcsec() / 3600.0
+        except Exception:
+            pixscale_deg = 1.0 / 3600.0
+        cat['ERRA_WORLD'] = cat['ERRAWIN_IMAGE'] * pixscale_deg
+        cat['ERRB_WORLD'] = cat['ERRBWIN_IMAGE'] * pixscale_deg
+        cat['ERRTHETA_WORLD'] = cat['ERRTHETAWIN_IMAGE']
         cat['FLAGS'] = np.array(out['flags'])[idx] & ~np.int32(1)
         cat['FLAGS_WEIGHT'] = (np.array(out['flags'])[idx] & 1)
         cat['IMAFLAGS_ISO'] = np.array(out['imaflags'])[idx]
@@ -217,16 +298,6 @@ class PipelineFITSCatalog(File):
         obj.data = cat
         if image.basename:
             obj.basename = image.basename.replace('.fits', '.cat')
-
-        # attach the segmentation check-image
-        seg = np.array(out['labels']).astype(np.int32)
-        image._set_product('_segmimg', seg, dtype='i4')
-
-        if image.ismapped:
-            obj.map_to_local_file(os.path.join(
-                os.path.dirname(image.local_path), obj.basename))
-            obj.save()
-        image.catalog = obj
         return obj
 
 

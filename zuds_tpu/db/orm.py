@@ -284,7 +284,9 @@ class Query:
         if self.session.conn is None:
             return 0
         cur = self.session.conn.execute(self._sql('COUNT(*)'), self._params)
-        return cur.fetchone()[0]
+        row = cur.fetchone()
+        # postgres RealDictCursor yields dict rows ({'count': n})
+        return next(iter(row.values())) if isinstance(row, dict) else row[0]
 
     def delete(self):
         if self.session.conn is None:

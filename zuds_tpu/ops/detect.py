@@ -125,6 +125,19 @@ def _compact_adjacency(pidx, pok, shape, inv=None):
     x = pidx % W
     offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
             (0, 1), (1, -1), (1, 0), (1, 1)]
+    if inv is not None:
+        # batch all 8 directions into ONE (8, cap) gather of the inverse
+        # map (8 sequential (cap,) gathers cost ~2 ms each on v5e; the
+        # batched take amortizes to ~3 ms total)
+        dy = jnp.asarray([o[0] for o in offs], jnp.int32)[:, None]
+        dx = jnp.asarray([o[1] for o in offs], jnp.int32)[:, None]
+        tgt = pidx[None] + dy * W + dx                       # (8, cap)
+        ok = (pok[None] & (tgt >= 0) & (tgt < H * W)
+              & ~((dx == -1) & (x[None] <= 0))
+              & ~((dx == 1) & (x[None] >= W - 1)))
+        pos = jnp.take(inv, jnp.clip(tgt, 0, H * W - 1))     # (8, cap)
+        ok = ok & (pos >= 0)
+        return jnp.maximum(pos, 0), ok
     nbr_pos, nbr_ok = [], []
     for dy, dx in offs:
         tgt = pidx + dy * W + dx
@@ -134,14 +147,9 @@ def _compact_adjacency(pidx, pok, shape, inv=None):
         if dx == 1:
             ok = ok & (x < W - 1)
         tgt_c = jnp.clip(tgt, 0, H * W - 1)
-        if inv is not None:
-            pos = inv[tgt_c]
-            ok = ok & (pos >= 0)
-            pos = jnp.maximum(pos, 0)
-        else:
-            pos = jnp.clip(jnp.searchsorted(pidx, tgt_c).astype(jnp.int32),
-                           0, cap - 1)
-            ok = ok & (pidx[pos] == tgt) & pok[pos]
+        pos = jnp.clip(jnp.searchsorted(pidx, tgt_c).astype(jnp.int32),
+                       0, cap - 1)
+        ok = ok & (pidx[pos] == tgt) & pok[pos]
         nbr_pos.append(pos)
         nbr_ok.append(ok)
     return jnp.stack(nbr_pos), jnp.stack(nbr_ok)
@@ -230,7 +238,8 @@ def _segmented_scan(vals, start, combine):
         vb, sb = b
         return jnp.where(sb, vb, combine(va, vb)), sa | sb
 
-    out, _ = jax.lax.associative_scan(op, (vals, start))
+    out, _ = jax.lax.associative_scan(op, (vals, start),
+                                      axis=vals.ndim - 1)
     return out
 
 
@@ -285,20 +294,19 @@ def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
     # cell peak is active whenever the pixel is (peak >= pixel >= t_l), so
     # the init is valid and hooks only need to merge adjacent CELLS
     lab0 = jnp.where(active, cellpos[None], posidx[None])
-    ok = jnp.stack([nbr_ok[k][None] & active
-                    & jnp.take(active, nbr_pos[k], axis=1)
-                    for k in range(8)])
+    nbr_act = jnp.take(active, nbr_pos, axis=1)          # (L, 8, cap)
+    ok = (nbr_ok[None] & active[:, None] & nbr_act)      # (L, 8, cap)
 
     # fully unrolled hook+compress (fori/while carries copy every (L, cap)
     # operand across the loop boundary — ~85 ms/step in device traces);
     # 3 rounds suffice with the cell-peak init (the per-level component
-    # graph over CELLS has tiny diameter)
+    # graph over CELLS has tiny diameter). The 8 direction gathers batch
+    # into ONE (L, 8, cap) take per round.
     labp = lab0
     for _ in range(3):
-        ln = labp
-        for k in range(8):
-            cand = jnp.take(labp, nbr_pos[k], axis=1)
-            ln = jnp.minimum(ln, jnp.where(ok[k], cand, labp))
+        cand = jnp.take(labp, nbr_pos, axis=1)           # (L, 8, cap)
+        ln = jnp.minimum(labp, jnp.min(
+            jnp.where(ok, cand, labp[:, None]), axis=1))
         for _c in range(3):
             ln = jnp.minimum(ln, jnp.take_along_axis(ln, ln, axis=1))
         labp = ln                                            # (L, cap) pos
@@ -428,26 +436,50 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     # ---- base connected components ---------------------------------------
     # full-frame min-pool sweeps are the cheapest primitive (~0.6 ms each,
     # pure VPU): 24 sweeps converge every component of diameter <= 24
-    # exactly; one compact position-space hook+compress round then repairs
-    # longer chains (reach 24*2^6 px). Compact 1-D gathers cost ~2 ms each,
-    # so rounds are rationed.
+    # exactly; position-space hook+compress rounds then repair longer
+    # chains, iterated to a FIXED POINT under a while_loop (a bounded
+    # round count silently split quadrant-crossing trails/bleeds; typical
+    # frames exit after one verify round). Hook gathers are batched into
+    # one (8, cap) take per round.
     labels_f = jnp.where(det, flat, INT_MAX)
 
     def sweep(_, l):
         return jnp.where(det, _minpool3(l), INT_MAX)
 
-    labels_f = jax.lax.fori_loop(0, 24, sweep, labels_f)
+    # 12 sweeps seed most components exactly; the while_loop repair below
+    # is the correctness guarantee (fixed point), so sweeps are purely an
+    # accelerator — 24 sweeps spent ~14 ms to save ~1 repair round
+    labels_f = jax.lax.fori_loop(0, 12, sweep, labels_f)
     posidx = jnp.arange(cap, dtype=jnp.int32)
     seedpos = pos_of(labels_f.ravel()[pidx])
     nbr_pos, nbr_ok = _compact_adjacency(pidx, pok, (H, W), inv=inv)
-    okb = jnp.stack([nbr_ok[k] & pok & pok[nbr_pos[k]] for k in range(8)])
-    lab_p = jnp.where(pok, seedpos, posidx)
-    lnn = lab_p
-    for k in range(8):
-        lnn = jnp.minimum(lnn, jnp.where(okb[k], lab_p[nbr_pos[k]], lab_p))
-    lab_p = lnn
-    for _c in range(6):
-        lab_p = jnp.minimum(lab_p, lab_p[lab_p])
+    okb = nbr_ok & pok[None] & jnp.take(pok, nbr_pos)
+    lab0 = jnp.where(pok, seedpos, posidx)
+
+    def ccl_round(l):
+        # min neighbor label per pixel, then hook it onto MY ROOT (the
+        # Shiloach-Vishkin scatter-min): hooking only one's own label
+        # merges clusters at 1 px/round along a chain — the wave must
+        # crawl to the cluster root before compression can redistribute
+        # (a quadrant-crossing trail took O(path) rounds; ADVICE r2).
+        # Writing onto the root makes each merge O(1) + compression.
+        cand = jnp.min(jnp.where(okb, jnp.take(l, nbr_pos), l), axis=0)
+        ln = l.at[l].min(jnp.minimum(l, cand))
+        for _c in range(3):
+            ln = jnp.minimum(ln, ln[ln])
+        return ln
+
+    def ccl_cond(state):
+        _, changed, i = state
+        return changed & (i < 64)
+
+    def ccl_body(state):
+        l, _, i = state
+        ln = ccl_round(l)
+        return ln, jnp.any(ln != l), i + 1
+
+    lab_p, _, _ = jax.lax.while_loop(
+        ccl_cond, ccl_body, (lab0, jnp.array(True), jnp.array(0)))
     lab_c = jnp.where(pok, pidx[lab_p], H * W - 1)
     comppos = jnp.where(pok, lab_p, cap - 1)
 
@@ -460,47 +492,25 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     # contrast rule only). False: no splitting.
     from ..constants import DEBLEND_MINCONT, DEBLEND_NTHRESH
     big_neg = jnp.float32(-3e38)
-    fdet = jnp.where(det, filt, big_neg)
-    best_val = fdet
-    best_idx = flat
+    filt_c = jnp.where(pok, filt.ravel()[pidx], 0.0)
+    img_c = jnp.where(pok, img.ravel()[pidx], 0.0)
+    pos_c = jnp.maximum(img_c, 0.0)
 
-    def _shift2(arr, dy, dx, fill):
-        out = arr
-        if dy > 0:
-            out = jnp.concatenate(
-                [jnp.full((dy, W), fill, arr.dtype), out[:-dy]], axis=0)
-        elif dy < 0:
-            out = jnp.concatenate(
-                [out[-dy:], jnp.full((-dy, W), fill, arr.dtype)], axis=0)
-        if dx > 0:
-            out = jnp.concatenate(
-                [jnp.full((H, dx), fill, arr.dtype), out[:, :-dx]], axis=1)
-        elif dx < 0:
-            out = jnp.concatenate(
-                [out[:, -dx:], jnp.full((H, -dx), fill, arr.dtype)], axis=1)
-        return out
-
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            nv = _shift2(fdet, dy, dx, big_neg)
-            ni = _shift2(flat, dy, dx, 0)
-            take = nv > best_val
-            best_val = jnp.where(take, nv, best_val)
-            best_idx = jnp.where(take, ni, best_idx)
-    parent_flat = jnp.where(det, best_idx, flat).ravel()
+    # steepest-ascent parent in POSITION space via ONE batched neighbor
+    # gather (the r2 full-frame 8-shift max/argmax cost ~17 frame passes);
+    # argmax tie-breaking (first max in adjacency order) matches the old
+    # first-strictly-greater scan over the same direction order
+    nbr_filt = jnp.where(okb, jnp.take(filt_c, nbr_pos), big_neg)
+    kbest = jnp.argmax(nbr_filt, axis=0)
+    vbest = jnp.take_along_axis(nbr_filt, kbest[None], axis=0)[0]
+    pbest = jnp.take_along_axis(nbr_pos, kbest[None], axis=0)[0]
+    ppos = jnp.where(pok & (vbest > filt_c), pbest, posidx)
 
     # steepest ascent to the cell peak by pointer DOUBLING in position
     # space: 6 squarings reach any peak within 2^6 px (a fixed-step chase
     # costs one ~2 ms gather per pixel of path length)
-    ppos = jnp.where(pok, pos_of(parent_flat[pidx]), posidx)
     cellpos = jax.lax.fori_loop(0, 6, lambda _, p: p[p], ppos)
     p_c = jnp.where(pok, pidx[cellpos], H * W - 1)
-
-    filt_c = jnp.where(pok, filt.ravel()[pidx], 0.0)
-    img_c = jnp.where(pok, img.ravel()[pidx], 0.0)
-    pos_c = jnp.maximum(img_c, 0.0)
 
     if deblend == 'watershed':
         f_cell = jax.ops.segment_sum(jnp.where(pok, pos_c, 0.0), cellpos,
@@ -515,6 +525,7 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         dominant = peak_val >= m_comp[comppos]
         significant = ((f_cell[cellpos] >= DEBLEND_MINCONT * f_comp[comppos])
                        & (n_cell[cellpos] >= minarea) & ~dominant)
+        deblend_overflow = jnp.int32(0)
         key_c = jnp.where(significant, p_c, lab_c)
     elif deblend:
         # single-cell components can never split: restrict the 31-level
@@ -543,16 +554,31 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                                   filt_c[idx2], pos_c[idx2],
                                   thresh_c[idx2], nbr_pos2, nbr_ok2,
                                   DEBLEND_NTHRESH, DEBLEND_MINCONT)
-        key_full = jnp.zeros(cap, jnp.int32).at[idx2].set(
-            jnp.where(pok2, objdeep2, 0))
-        key_c = jnp.where(multi, key_full, lab_c)
+        # scatter through a cap+1 buffer so padded idx2 entries land in a
+        # discard slot instead of clobbering a real pixel's key
+        key_full = jnp.zeros(cap + 1, jnp.int32).at[
+            jnp.where(pok2, idx2, cap)].set(objdeep2)[:cap]
+        # capacity fallback: multi pixels beyond cap2 never entered the
+        # deblend tree — keep their BASE component (no split) instead of
+        # silently mapping them to flat index 0, and count the overflow
+        rank = jnp.cumsum(multi.astype(jnp.int32)) - 1
+        in2 = multi & (rank < cap2)
+        deblend_overflow = nmulti - jnp.minimum(nmulti, cap2)
+        key_c = jnp.where(in2, key_full, lab_c)
         key_c = jnp.where(pok, key_c, H * W - 1)
     else:
+        deblend_overflow = jnp.int32(0)
         key_c = lab_c
 
     # renumber deblended objects in raster order of their root pixels
     is_root_c = pok & (pidx == key_c)
     robj = jnp.cumsum(is_root_c.astype(jnp.int32))       # 1-based at roots
+    nroots = robj[-1]
+    # roots beyond max_det are clamped into the discard row — counted in
+    # obj_overflow so a junk shower that shatters into more objects than
+    # the capacity is detectable, not silent (a late-raster real source
+    # would otherwise just vanish)
+    obj_overflow = nroots - jnp.minimum(nroots, max_det)
     rootpos = pos_of(key_c)
     obj = robj[rootpos]
     obj = jnp.where(obj > max_det, max_det + 1, obj)
@@ -578,13 +604,13 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     # permuted gather ~2 ms
     cid_s, perm = jax.lax.sort(
         (cid, jnp.arange(cap, dtype=jnp.int32)), num_keys=1)
-    vals_s = vals[perm]
-    pos_s = pos[perm]
-    pxx_s = pxx[perm]
-    pyy_s = pyy[perm]
-    m32_s = m32[perm]
-    wnot_s = wnot[perm]
-    thr_s = thr_c2[perm]
+    # batch the permutation gathers: two (k, cap) takes instead of seven
+    # sequential (cap,) gathers (~2 ms each on v5e; batching amortizes)
+    fs = jnp.take(jnp.stack([vals, pxx, pyy, thr_c2]), perm, axis=1)
+    vals_s, pxx_s, pyy_s, thr_s = fs[0], fs[1], fs[2], fs[3]
+    ii = jnp.take(jnp.stack([m32, wnot]), perm, axis=1)
+    m32_s, wnot_s = ii[0], ii[1]
+    pos_s = jnp.maximum(vals_s, 0.0)
     start = jnp.concatenate([jnp.ones(1, bool),
                              cid_s[1:] != cid_s[:-1]])
 
@@ -594,31 +620,44 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                     0, cap - 1)
     present = (cid_s[jnp.clip(ends, 0, cap - 1)] == rows) & (ends >= starts)
 
-    def seg_stat(v, combine, empty):
-        scanned = _segmented_scan(v, start, combine)
-        return jnp.where(present, scanned[ends], empty)
+    def seg_stat_batched(v, combine, empty):
+        """v (k, cap) -> (k, nseg): one multi-operand segmented scan
+        instead of k sequential ones (each scan costs ~0.3-0.6 ms on v5e;
+        the lanes batch for free)."""
+        scanned = _segmented_scan(v, jnp.broadcast_to(start, v.shape),
+                                  combine)
+        picked = scanned[:, ends]                        # (k, nseg)
+        return jnp.where(present[None], picked,
+                         jnp.asarray(empty, picked.dtype)[:, None])
 
     add = lambda a, b: a + b
-    npix = seg_stat(jnp.ones(cap), add, 0.0)
-    flux = seg_stat(vals_s, add, 0.0)
-    peak = seg_stat(vals_s, jnp.maximum, 0.0)
-    wsum = jnp.maximum(seg_stat(pos_s, add, 0.0), 1e-20)
-    xbar = seg_stat(pos_s * pxx_s, add, 0.0) / wsum
-    ybar = seg_stat(pos_s * pyy_s, add, 0.0) / wsum
-    x2 = seg_stat(pos_s * pxx_s * pxx_s, add, 0.0) / wsum - xbar * xbar
-    y2 = seg_stat(pos_s * pyy_s * pyy_s, add, 0.0) / wsum - ybar * ybar
-    xy = seg_stat(pos_s * pxx_s * pyy_s, add, 0.0) / wsum - xbar * ybar
+    adds = seg_stat_batched(
+        jnp.stack([jnp.ones(cap), vals_s, pos_s, pos_s * pxx_s,
+                   pos_s * pyy_s, pos_s * pxx_s * pxx_s,
+                   pos_s * pyy_s * pyy_s, pos_s * pxx_s * pyy_s]),
+        add, np.zeros(8, np.float32))
+    npix, flux, wsum, sx, sy, sxx, syy, sxy = adds
+    wsum = jnp.maximum(wsum, 1e-20)
+    xbar = sx / wsum
+    ybar = sy / wsum
+    x2 = sxx / wsum - xbar * xbar
+    y2 = syy / wsum - ybar * ybar
+    xy = sxy / wsum - xbar * ybar
     # SExtractor's minimum-variance floor (1/12 px from pixelization)
     x2 = jnp.maximum(x2, 1.0 / 12.0)
     y2 = jnp.maximum(y2, 1.0 / 12.0)
-    xmin = seg_stat(pxx_s, jnp.minimum, jnp.inf)
-    xmax = seg_stat(pxx_s, jnp.maximum, -jnp.inf)
-    ymin = seg_stat(pyy_s, jnp.minimum, jnp.inf)
-    ymax = seg_stat(pyy_s, jnp.maximum, -jnp.inf)
-    wflag = seg_stat(wnot_s.astype(jnp.float32), jnp.maximum, 0.0)
+    maxs = seg_stat_batched(
+        jnp.stack([vals_s, pxx_s, pyy_s, wnot_s.astype(jnp.float32),
+                   thr_s]),
+        jnp.maximum, np.array([0.0, -np.inf, -np.inf, 0.0, 0.0],
+                              np.float32))
+    peak, xmax, ymax, wflag, thr_at_peak = maxs
+    mins = seg_stat_batched(jnp.stack([pxx_s, pyy_s]), jnp.minimum,
+                            np.array([np.inf, np.inf], np.float32))
+    xmin, ymin = mins
     # exact bitwise OR of mask bits over each footprint, one OR-scan
-    imaflags = seg_stat(m32_s, jnp.bitwise_or, 0)
-    thr_at_peak = seg_stat(thr_s, jnp.maximum, 0.0)
+    imaflags = seg_stat_batched(m32_s[None], jnp.bitwise_or,
+                                np.zeros(1, np.int32))[0]
     pix_overflow = ndet_pix - jnp.sum(pok.astype(jnp.int32))
 
     # shape parameters (SExtractor A/B/THETA from central moments)
@@ -636,6 +675,13 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     # edge flag (FLAGS bit 3 in SExtractor: object truncated at boundary)
     edge = ((xmin <= 0) | (ymin <= 0) | (xmax >= W - 1) | (ymax >= H - 1))
     flags = jnp.where(wflag > 0, 1, 0) | jnp.where(edge, 8, 0)
+    # capacity-overflow flags (SExtractor FLAGS semantics: 64 = deblend
+    # memory overflow, 128 = extraction overflow): raised on every object
+    # when the respective fixed-capacity compaction truncated, so crowded
+    # fields are detectable from the catalog alone
+    flags = flags | jnp.where(deblend_overflow > 0, 64, 0)
+    flags = flags | jnp.where((pix_overflow > 0) | (obj_overflow > 0),
+                              128, 0)
 
     # ---- CLEAN pass (sextractor.conf CLEAN Y / CLEAN_PARAM 1.0) ---------
     # An object is spurious if it would not have been detected without its
@@ -703,6 +749,8 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         'imaflags': imaflags[sl], 'flags': flags[sl],
         'thresh': thr_at_peak[sl],
         'pix_overflow': pix_overflow,
+        'deblend_overflow': deblend_overflow,
+        'obj_overflow': obj_overflow,
         'valid': valid[sl],
     }
     out['n'] = jnp.sum(valid[sl].astype(jnp.int32))

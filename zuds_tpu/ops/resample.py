@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 __all__ = ['upsample_mapping', 'warp_image', 'warp_mask', 'warp_image_mask',
            'box_mask_or', 'lanczos3', 'plan_warp', 'warp_planned',
-           'warp_shift_image']
+           'warp_shift_image', 'warp_shift_mask']
 
 SUPPORT = 3  # Lanczos order: 6 taps per axis
 
@@ -174,6 +174,95 @@ def box_mask_or(mask, reach=7):
     return out
 
 
+def _tap_weight_consts(lo, hi):
+    """Per-tap constants (a_j, b_j) for the Lanczos angle-addition form.
+
+    For t = d - j (j integer), the two sinc sines collapse onto phases of
+    d alone:  sin(pi(d-j)) = (-1)^j sin(pi d)  and
+    sin(pi(d-j)/3) = cos(pi j/3) sin(pi d/3) - sin(pi j/3) cos(pi d/3),
+    so  L(t) = 3 sin(pi t) sin(pi t/3) / (pi^2 t^2) = (a_j A + b_j B)/t^2
+    with A = sin(pi d) sin(pi d/3), B = sin(pi d) cos(pi d/3). TWO
+    transcendental fields then serve every tap of the axis — the naive
+    form either recomputes lanczos3 per tap (2 sin passes each) or parks
+    an (ntap, H, W) weight stack in HBM (the r2 warp's dominant traffic).
+    """
+    js = np.arange(lo, hi + 1)
+    sgn = np.where(js % 2 == 0, 1.0, -1.0)
+    k = sgn * 3.0 / np.pi ** 2
+    return (k * np.cos(np.pi * js / 3.0)).astype(np.float32), \
+        (-k * np.sin(np.pi * js / 3.0)).astype(np.float32)
+
+
+def _tap_phases(d):
+    """(A, B) phase fields shared by every integer-offset tap of one
+    axis (see _tap_weight_consts)."""
+    pd = jnp.float32(np.pi) * d
+    sp = jnp.sin(pd)
+    return sp * jnp.sin(pd / 3.0), sp * jnp.cos(pd / 3.0)
+
+
+# L(t) ~ 1 - (10/54) pi^2 t^2 near t=0 (the closed form is 0/0 there)
+_TAYLOR_C = np.float32(10.0 / 54.0 * np.pi ** 2)
+
+
+def _tap_weight(A, B, d, j, a_j, b_j):
+    """Lanczos-3 weight L(d - j) from the hoisted axis phases: ~8 cheap
+    VPU ops per tap, no transcendentals, no weight stack. t is formed as
+    d - j directly (an expanded d^2 - 2jd + j^2 cancels catastrophically
+    near t = 0 and costs ~3e-3 absolute weight error)."""
+    t = d - j
+    t2 = t * t
+    w = (a_j * A + b_j * B) / jnp.maximum(t2, 1e-12)
+    w = jnp.where(t2 < 4e-4, 1.0 - _TAYLOR_C * t2, w)
+    return jnp.where(t2 < 9.0, w, 0.0)
+
+
+# per-axis mask-significance threshold: sqrt of the 5e-3 product rule, so
+# a tap significant in both axes carries ~the same weight floor
+_MASK_TAU = np.float32(np.sqrt(5e-3))
+
+
+@partial(jax.jit, static_argnames=('window',))
+def warp_shift_mask(mask, u, v, window=4):
+    """Separable significant-weight OR bitmask warp (shift-accumulate).
+
+    A source pixel's bits reach a destination pixel iff its column Lanczos
+    weight and its row Lanczos weight each exceed sqrt(5e-3) in magnitude —
+    the separable form of the gather warp's |wx*wy| > 5e-3 rule, chosen so
+    the OR decomposes into two passes of 2(window+3)+1 integer taps each
+    (vs (2(window+3)+1)^2 fused taps, ~70% of the r2 warp cost;
+    docs/PERF.md). Taps outside the 6x6 Lanczos support have exactly zero
+    weight, so the result is independent of ``window`` whenever the true
+    displacement is within it — the batched pipeline and the per-pair
+    align path produce IDENTICAL masks even with different windows.
+
+    Column significance is evaluated at the intermediate row the bit
+    propagates through (the two passes commute with the shift), matching
+    what a separable resampler physically mixes.
+    """
+    H, W = mask.shape
+    yy = jnp.arange(H, dtype=u.dtype)[:, None]
+    xx = jnp.arange(W, dtype=u.dtype)[None, :]
+    du = u - xx
+    dv = v - yy
+    inb = ((u >= SUPPORT - 1) & (u <= W - SUPPORT)
+           & (v >= SUPPORT - 1) & (v <= H - SUPPORT))
+
+    lo = -(window + SUPPORT)
+    hi = window + SUPPORT
+    inner = jnp.zeros(mask.shape, dtype=mask.dtype)
+    for dx in range(lo, hi + 1):
+        take = jnp.abs(lanczos3(du - dx)) > _MASK_TAU
+        inner = inner | jnp.where(take, jnp.roll(mask, -dx, axis=1),
+                                  0).astype(mask.dtype)
+    out = jnp.zeros(mask.shape, dtype=mask.dtype)
+    for dy in range(lo, hi + 1):
+        take = jnp.abs(lanczos3(dv - dy)) > _MASK_TAU
+        out = out | jnp.where(take, jnp.roll(inner, -dy, axis=0),
+                              0).astype(mask.dtype)
+    return jnp.where(inb, out, 0).astype(mask.dtype)
+
+
 @partial(jax.jit, static_argnames=('window',))
 def warp_shift_image_mask(img, mask, u, v, window=4):
     """Shift-accumulate Lanczos-3 warp for small smooth displacements.
@@ -186,53 +275,13 @@ def warp_shift_image_mask(img, mask, u, v, window=4):
     the 6-tap support sets the (2*(window+3))^2 tap count, so keep it for
     alignment-sized offsets and fall back to the gather warp beyond.
 
-    Wrapped roll values only ever receive zero weight: any output pixel
-    whose interpolation support crosses the frame edge is already flagged
-    no-coverage.
+    The mask rides through :func:`warp_shift_mask` (separable
+    significant-weight OR) — the same function the batched pipeline uses,
+    so per-pair and batched submasks agree bit-for-bit.
     """
-    H, W = img.shape
-    yy = jnp.arange(H, dtype=u.dtype)[:, None]
-    xx = jnp.arange(W, dtype=u.dtype)[None, :]
-    du = u - xx
-    dv = v - yy
-    inb = ((u >= SUPPORT - 1) & (u <= W - SUPPORT)
-           & (v >= SUPPORT - 1) & (v <= H - SUPPORT))
-
-    lo = -(window + SUPPORT)
-    hi = window + SUPPORT
-    ntap = hi - lo + 1
-    # hoist the column weight fields: lanczos3 is transcendental (sin), and
-    # recomputing it per (dy, dx) pair costs ~15x more sin passes than the
-    # tap FMAs themselves. One stack of ntap wx fields turns the tap loop
-    # into pure multiply-adds.
-    wx = jnp.stack([lanczos3(du - dx) for dx in range(lo, hi + 1)])
-    wxsum = jnp.sum(wx, axis=0)
-
-    # scan over tap rows keeps liveness bounded (the fully-unrolled double
-    # loop held O(taps) rolled frames alive and OOM'd at batch>1)
-    dys = jnp.arange(lo, hi + 1)
-
-    def row_taps(carry, dy):
-        acc, wacc, macc = carry
-        wy = lanczos3(dv - dy)
-        simg_row = jnp.roll(img, -dy, axis=0)
-        smask_row = jnp.roll(mask, -dy, axis=0)
-        for j, dx in enumerate(range(lo, hi + 1)):
-            w = wx[j] * wy
-            acc = acc + jnp.roll(simg_row, -dx, axis=1) * w
-            take = jnp.abs(w) > 5e-3
-            macc = macc | jnp.where(take, jnp.roll(smask_row, -dx, axis=1),
-                                    0).astype(mask.dtype)
-        wacc = wacc + wxsum * wy
-        return (acc, wacc, macc), None
-
-    init = (jnp.zeros(img.shape, dtype=jnp.float32),
-            jnp.zeros(img.shape, dtype=jnp.float32),
-            jnp.zeros(img.shape, dtype=mask.dtype))
-    (acc, wacc, macc), _ = jax.lax.scan(row_taps, init, dys)
-    out = acc / jnp.where(wacc == 0, 1.0, wacc)
-    cov = inb.astype(jnp.float32)
-    return out * cov, jnp.where(inb, macc, 0).astype(mask.dtype), cov
+    out, cov = warp_shift_image(img, u, v, window=window)
+    macc = warp_shift_mask(mask, u, v, window=window)
+    return out, macc, cov
 
 
 @partial(jax.jit, static_argnames=('window',))
@@ -253,6 +302,10 @@ def warp_shift_image(img, u, v, window=4):
 
     lo = -(window + SUPPORT)
     hi = window + SUPPORT
+    # hoist the column weight fields: an (ntap, H, W) stack in HBM beats
+    # recomputing per-tap weight algebra inside the scan on v5e (the
+    # phase-trick per-tap form measured 160 ms vs 65 ms here AND took
+    # ~7 min to compile; the stack stays)
     wx = jnp.stack([lanczos3(du - dx) for dx in range(lo, hi + 1)])
     wxsum = jnp.sum(wx, axis=0)
     dys = jnp.arange(lo, hi + 1)

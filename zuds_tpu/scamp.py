@@ -105,7 +105,7 @@ _TPV_DEG_IDX = {0: [0], 1: [1, 2], 2: [4, 5, 6], 3: [7, 8, 9, 10]}
 
 
 def fit_tpv_correction(wcs, x, y, ra_true, dec_true, degree=3,
-                       clip_sigma=3.0, clip_iters=2):
+                       clip_sigma=3.0, clip_iters=2, weights=None):
     """Refit the TPV distortion polynomial to ``degree`` against matched
     standards — the SCAMP DISTORT_DEGREES operation
     (``zuds/astromatic/default.scamp:18-25``, ``zuds/scamp.py:16-113``).
@@ -114,6 +114,10 @@ def fit_tpv_correction(wcs, x, y, ra_true, dec_true, degree=3,
     include constant and linear terms, subsuming the linear correction)
     are solved by linear least squares on the tangent plane with
     ``clip_iters`` rounds of ``clip_sigma`` residual clipping.
+
+    ``weights``: optional (N,) inverse-variance weights — SCAMP weights
+    each detection by its windowed positional uncertainty
+    (1/ERRAWIN_IMAGE^2); rows are scaled by sqrt(w) before the solve.
     """
     from .wcs.tpv import _tan_project, tpv_terms, NUM_PV
     import copy
@@ -129,12 +133,22 @@ def fit_tpv_correction(wcs, x, y, ra_true, dec_true, degree=3,
     eta = wcs.cd[1, 0] * dx + wcs.cd[1, 1] * dy
     xi_t, eta_t = _tan_project(ra_true, dec_true, wcs.crval[0], wcs.crval[1])
 
+    if weights is None:
+        sw = np.ones(len(dx))
+    else:
+        sw = np.sqrt(np.clip(np.asarray(weights, float), 0.0, None))
+        if not np.any(sw > 0):
+            sw = np.ones(len(dx))
+
     M1 = tpv_terms(xi, eta)[:, idx]
     M2 = tpv_terms(eta, xi)[:, idx]
     keep = np.ones(len(dx), bool)
     for _ in range(clip_iters + 1):
-        c1, *_ = np.linalg.lstsq(M1[keep], xi_t[keep], rcond=None)
-        c2, *_ = np.linalg.lstsq(M2[keep], eta_t[keep], rcond=None)
+        k = keep & (sw > 0)
+        c1, *_ = np.linalg.lstsq(M1[k] * sw[k, None], xi_t[k] * sw[k],
+                                 rcond=None)
+        c2, *_ = np.linalg.lstsq(M2[k] * sw[k, None], eta_t[k] * sw[k],
+                                 rcond=None)
         r = np.hypot(M1 @ c1 - xi_t, M2 @ c2 - eta_t)
         sig = 1.4826 * np.median(np.abs(r[keep] - np.median(r[keep]))) \
             + 1e-12
@@ -204,11 +218,21 @@ def calibrate_astrometry(images, scamp_kws=None, inplace=False,
             corrected.append(im.wcs)
             continue
         nparams = sum(len(_TPV_DEG_IDX[d]) for d in range(distort_degree + 1))
+        # inverse-variance weights from the windowed positional errors
+        # (SCAMP's ASTR_FLAGSMASK-weighted fit; sextractor.param:6-13)
+        wts = None
+        names = getattr(stars.dtype, 'names', None) or ()
+        if 'ERRAWIN_IMAGE' in names:
+            err = np.asarray(stars['ERRAWIN_IMAGE'][i1], float)
+            good = np.isfinite(err) & (err > 0)
+            if good.any():
+                floor = max(np.percentile(err[good], 5), 1e-4)
+                wts = np.where(good, 1.0 / np.maximum(err, floor) ** 2, 0.0)
         if distort_degree >= 2 and len(i1) >= 2 * nparams:
             new_wcs = fit_tpv_correction(
                 im.wcs, stars['X_IMAGE'][i1], stars['Y_IMAGE'][i1],
                 np.asarray(ref_ra)[i2], np.asarray(ref_dec)[i2],
-                degree=distort_degree)
+                degree=distort_degree, weights=wts)
         else:
             new_wcs = fit_wcs_correction(
                 im.wcs, stars['X_IMAGE'][i1], stars['Y_IMAGE'][i1],

@@ -188,6 +188,30 @@ class Subtraction:
             rms_out = np.array(rms_j)
             scorr = None
 
+        sub = cls.assemble(sci, ref, diff, rms_out, submask_data,
+                           method=method, spatial_order=spatial_order,
+                           nreg_side=nreg_side, scorr=scorr,
+                           data_product=data_product,
+                           outfile_name=outfile_name)
+        return sub
+
+    @classmethod
+    def assemble(cls, sci, ref, diff, rms_out, submask_data,
+                 method='hotpants', spatial_order=None, nreg_side=3,
+                 scorr=None, data_product=False, outfile_name=None):
+        """Build the subtraction product object from computed arrays.
+
+        Shared by the per-pair path (``from_images``) and the batched night
+        driver (``scripts/donight.py``), which computes diff/rms/submask in
+        the fused device pipeline and assembles identical products here
+        (header inheritance per zuds/subtraction.py:208-215, nodata bit 17
+        per zuds/subtraction.py:167-177).
+        """
+        if outfile_name is None:
+            outfile_name = sub_name(
+                sci.local_path if sci.ismapped else sci.basename,
+                ref.local_path if ref.ismapped else ref.basename)
+        submask_data = np.asarray(submask_data).astype(np.uint32).copy()
         # --- nodata bit 17 (reference: zuds/subtraction.py:167-177) ----------
         submask_data[diff == SUB_NODATA_SENTINEL] |= np.uint32(
             1 << MASK_BIT_NODATA_SUB)
@@ -202,7 +226,8 @@ class Subtraction:
             if kw in sci.header:
                 header.set(kw, sci.header[kw])
         header.set('SUBMETH', method, 'subtraction engine')
-        header.set('SUBKO', spatial_order, 'kernel spatial order used')
+        header.set('SUBKO', spatial_order if spatial_order is not None
+                   else -1, 'kernel spatial order used')
         header.set('SUBNRX', nreg_side, 'kernel region grid used')
         sub.header = header
         sub.data = diff.astype('f4')
