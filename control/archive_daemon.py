@@ -53,9 +53,64 @@ def archive_to_cold(session, cold_dir):
     return tar_path if n else None
 
 
+def media_locator(paths):
+    """Physical-position locator for each archive path: the sort key that
+    makes sequential-media retrieval monotone.
+
+    The reference asks HPSS where every tarball physically lives
+    (``hsi ls -P`` -> (tape, position), nersc/retrieve.py:20-68) and
+    orders restores by it — THE optimization of that module: random tape
+    recalls thrash the robot and rewind constantly. Here:
+
+    * when ``hsi`` exists, the same ``ls -P`` parse (FILE lines carry
+      position field 5 as 'pos+offset' and tape field 6);
+    * otherwise a filesystem proxy: (device, inode) — monotone inode
+      order approximates allocation order on the cold tier's disk.
+
+    Returns {path: (tape, position)} — missing paths are absent.
+    """
+    import shutil
+    import subprocess
+    out = {}
+    hsi = shutil.which('hsi')
+    if hsi:
+        try:
+            cmds = '\n'.join(f'ls -P {p}' for p in paths) + '\n'
+            r = subprocess.run([hsi, 'in', '/dev/stdin'], input=cmds,
+                               capture_output=True, text=True, timeout=600)
+            # 64 = some files missing; acceptable (reference retrieve.py)
+            if r.returncode in (0, 64):
+                for line in (r.stdout or '').splitlines():
+                    parts = line.split()
+                    # FILE <path> <a> <b> <pos+off> <tape> ...
+                    if len(parts) >= 6 and parts[0] == 'FILE':
+                        pos = parts[4].split('+')[0]
+                        tape = parts[5][:-2] if len(parts[5]) > 2 \
+                            else parts[5]
+                        try:
+                            pos = int(pos)
+                        except ValueError:
+                            pass
+                        out[parts[1]] = (tape, pos)
+                if out:
+                    return out
+        except (OSError, subprocess.SubprocessError):
+            pass
+    for p in paths:
+        try:
+            st = os.stat(p)
+            out[p] = (str(st.st_dev), st.st_ino)
+        except OSError:
+            continue
+    return out
+
+
 def retrieve_from_cold(session, basenames, cold_dir, dest_dir):
-    """Pull products back from cold tarballs, grouped per tarball so each
-    archive is read once (reference: nersc/retrieve.py tape ordering)."""
+    """Pull products back from cold tarballs: grouped per tarball so each
+    archive is read once, and tarballs restored in PHYSICAL MEDIA ORDER
+    (the reference's hsi ls -P tape-position sort,
+    nersc/retrieve.py:20-180) — random recall order is the dominant cost
+    on sequential media."""
     from collections import defaultdict
     by_tar = defaultdict(list)
     for basename in basenames:
@@ -65,9 +120,13 @@ def retrieve_from_cold(session, basenames, cold_dir, dest_dir):
         if row:
             by_tar[row[0]].append(basename)
     os.makedirs(dest_dir, exist_ok=True)
+    paths = {t: os.path.join(cold_dir, t) for t in by_tar}
+    loc = media_locator([p for p in paths.values() if os.path.exists(p)])
+    ordered = sorted(by_tar.items(),
+                     key=lambda kv: loc.get(paths[kv[0]], ('~', 1 << 62)))
     restored = []
-    for tarname, members in by_tar.items():
-        path = os.path.join(cold_dir, tarname)
+    for tarname, members in ordered:
+        path = paths[tarname]
         if not os.path.exists(path):
             continue
         with tarfile.open(path) as tf:

@@ -159,3 +159,26 @@ def test_xmatch_full_blocks(db):
     assert out['lsg1'] == pytest.approx(22.5 - 2.5 * np.log10(10.0))
     assert out['lszphotmed1'] == pytest.approx(0.19)
     assert out['ztfname'] == ''
+
+
+def test_xmatch_name_services_local(db):
+    """milliquas/TNS/ZTF-name blocks populate from the LOCAL tables
+    (reference: Kowalski cone searches, zuds/crossmatch.py:244-383; the
+    offline fallback must not degrade to '' when fixtures exist)."""
+    from zuds_tpu.external import Milliquas, TNSSource, ZTFName
+    from zuds_tpu.crossmatch import xmatch
+
+    db.add(Milliquas(name='MQ 1501+3512', ra=150.1, dec=35.2, rmag=18.2,
+                     qso_class='Q', z=1.3))
+    db.add(TNSSource(name='2019abc', ra=150.10005, dec=35.2, objtype='SN Ia',
+                     redshift=0.05))
+    db.add(ZTFName(objectid='ZTF19aaaaaaa', ra=150.1, dec=35.20005))
+    db.add(ZTFName(objectid='ZTF18zzzzzzz', ra=150.1, dec=35.2))
+    # beyond the 1.5 arcsec cone: must NOT appear
+    db.add(ZTFName(objectid='ZTF17far', ra=150.2, dec=35.2))
+    db.commit()
+
+    out = xmatch(150.1, 35.2)
+    assert out['mqid'] == 'MQ 1501+3512'
+    assert out['tnsid'] == '2019abc'
+    assert out['ztfname'] == 'ZTF18zzzzzzz,ZTF19aaaaaaa'

@@ -253,3 +253,45 @@ def test_update_tap_sync(db):
     calls.clear()
     n2 = update.sync(fetch=fake_fetch, now_jd=2458915.5 + 45)
     assert n2 == 0
+
+
+def test_retrieval_media_order(tmp_path, monkeypatch):
+    """Cold-tier restores follow physical media order (the reference's
+    hsi ls -P tape-position sort, nersc/retrieve.py:20-180)."""
+    import sys as _sys
+    import tarfile
+    _sys.path.insert(0, str(
+        __import__('pathlib').Path(__file__).parent.parent / 'control'))
+    import archive_daemon as ad
+
+    cold = tmp_path / 'cold'
+    cold.mkdir()
+    dest = tmp_path / 'dest'
+    for t, member in [('a.tar', 'x1.fits'), ('b.tar', 'x2.fits')]:
+        src = tmp_path / member
+        src.write_bytes(b'\x00' * 64)
+        with tarfile.open(cold / t, 'w') as tf:
+            tf.add(src, arcname=member)
+
+    class FakeSession:
+        def execute(self, sql, params):
+            name = params[0]
+            return type('R', (), {'fetchone': staticmethod(
+                lambda: ('a.tar',) if name == 'x1.fits' else ('b.tar',))})()
+
+    order = []
+    real_open = tarfile.open
+
+    def spy_open(path, *a, **k):
+        order.append(str(path).split('/')[-1])
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(tarfile, 'open', spy_open)
+    # force reversed media order: b.tar physically precedes a.tar
+    monkeypatch.setattr(ad, 'media_locator', lambda paths: {
+        p: ('T1', 5 if p.endswith('a.tar') else 2) for p in paths})
+    restored = ad.retrieve_from_cold(FakeSession(), ['x1.fits', 'x2.fits'],
+                                     str(cold), str(dest))
+    assert order == ['b.tar', 'a.tar']
+    assert sorted(r.split('/')[-1] for r in restored) == \
+        ['x1.fits', 'x2.fits']

@@ -226,26 +226,3 @@ def test_batched_pipeline_rms_matches_unbatched(rng):
         jnp.full((128, 128), 1.0), coeffs, args[9][0], args[10][0],
         args[11][0], args[12][0], order=cfg.order, nreg=cfg.nreg)
     assert np.all(np.asarray(ref_var) >= 0)
-
-
-def test_apply_kernel_blocked_matches_grouped():
-    """The MXU-blocked apply is numerically the grouped-conv apply."""
-    import numpy as np
-    import jax.numpy as jnp
-    from zuds_tpu.ops.subtract import (KernelBasis, apply_kernel,
-                                       apply_kernel_blocked, spatial_terms)
-    rng = np.random.default_rng(3)
-    H, W = 100, 96
-    basis = KernelBasis(9, seeing_sigma=1.2)
-    order, nreg = 2, 3
-    Nm = len(spatial_terms(order))
-    D = basis.nbasis * Nm + 1
-    coeffs = jnp.asarray(rng.normal(0, 0.3, (nreg * nreg, D)).astype('f4'))
-    ref = jnp.asarray(rng.normal(100, 10, (H, W)).astype('f4'))
-    b0 = jnp.asarray(basis.b0_2d)
-    m1 = np.asarray(apply_kernel(ref, coeffs, basis.gx, basis.gy,
-                                 basis.sums, b0, order=order, nreg=nreg))
-    m2 = np.asarray(apply_kernel_blocked(ref, coeffs, basis.gx, basis.gy,
-                                         basis.sums, b0, order=order,
-                                         nreg=nreg))
-    np.testing.assert_allclose(m2, m1, atol=5e-5 * np.abs(m1).max())

@@ -18,7 +18,12 @@ from .constants import MATCH_RADIUS_DEG
 from .secrets import get_secret
 from .spatial import cone_where, angular_distance
 
-__all__ = ['xmatch', 'xmatch_dr8', 'xmatch_clu', 'ps1_info', 'abmag']
+__all__ = ['xmatch', 'xmatch_dr8', 'xmatch_clu', 'ps1_info', 'abmag',
+           'xmatch_names']
+
+# all three reference name services use a 1.5 arcsec cone
+# (zuds/crossmatch.py:244-383)
+NAME_RADIUS_DEG = 1.5 / 3600.0
 
 
 def _cone_rows(model, ra, dec, radius):
@@ -112,6 +117,47 @@ def ps1_info(ra, dec, radius=30.0 / 3600.0):
         return []
 
 
+def _local_names(model, field, ra, dec, radius=NAME_RADIUS_DEG):
+    rows = _cone_rows(model, ra, dec, radius)
+    return sorted({getattr(r, field) for r in rows if getattr(r, field)})
+
+
+def xmatch_names(ra, dec):
+    """ztfname / mqid / tnsid enrichment: unique names within 1.5 arcsec,
+    comma-joined (reference semantics: ZTF_alerts / milliquas_v6 / TNS
+    Kowalski cone searches, zuds/crossmatch.py:244-383). Local Milliquas /
+    TNSSource / ZTFName tables answer first; Kowalski is attempted only
+    when every local table comes back empty AND credentials exist — so
+    the fields populate offline instead of always degrading to ''."""
+    from .external import Milliquas, TNSSource, ZTFName
+    names = {
+        'ztfname': ','.join(_local_names(ZTFName, 'objectid', ra, dec)),
+        'mqid': ','.join(_local_names(Milliquas, 'name', ra, dec)),
+        'tnsid': ','.join(_local_names(TNSSource, 'name', ra, dec)),
+    }
+    if not any(names.values()):
+        k = _kowalski()
+        if k is not None:  # pragma: no cover - network
+            for key, cat, proj in [('ztfname', 'ZTF_alerts', 'objectId'),
+                                   ('mqid', 'milliquas_v6', 'Name'),
+                                   ('tnsid', 'TNS', 'name')]:
+                q = {'query_type': 'cone_search',
+                     'object_coordinates': {
+                         'radec': f'[({ra}, {dec})]',
+                         'cone_search_radius': '1.5',
+                         'cone_search_unit': 'arcsec'},
+                     'catalogs': {cat: {'filter': {},
+                                        'projection': {proj: 1, '_id': 0}}}}
+                try:
+                    r = k.query(q)
+                    hits = list(r['data'][cat].values())[0]
+                    names[key] = ','.join(sorted(
+                        {h[proj] for h in hits if h.get(proj)}))
+                except Exception:
+                    pass
+    return names
+
+
 def abmag(nanomaggies):
     """LegacySurvey nanomaggy flux -> AB magnitude (None-safe)."""
     if nanomaggies is None or not np.isfinite(nanomaggies) \
@@ -164,11 +210,9 @@ def xmatch(ra, dec, source_id=None):
         out[f'lszphotu95{i}'] = m.get('z_phot_u95')
         out[f'lszspec{i}'] = m.get('z_spec')
 
-    # name services (network-gated; '' offline, comma-joined like the
-    # reference's ','.join over cone-search hits)
-    out['ztfname'] = ''
-    out['mqid'] = ''
-    out['tnsid'] = ''
+    # name services: local tables, then Kowalski, else '' (comma-joined
+    # unique names like the reference, zuds/crossmatch.py:244-383)
+    out.update(xmatch_names(ra, dec))
 
     # CLU convenience keys (repo extension; used by filters, not the
     # broker schema)

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from .db.orm import Column, Model
 
-__all__ = ['DR8North', 'DR8South', 'CLU', 'PS1']
+__all__ = ['DR8North', 'DR8South', 'CLU', 'PS1', 'Milliquas', 'TNSSource',
+           'ZTFName']
 
 
 class _DR8Base(Model):
@@ -87,3 +88,47 @@ class PS1(Model):
     rmag = Column('REAL')
     imag = Column('REAL')
     zmag = Column('REAL')
+
+
+class Milliquas(Model):
+    """Million Quasars (milliquas_v6) — local offline equivalent of the
+    reference's Kowalski cone search that fills the alert ``mqid`` field
+    (zuds/crossmatch.py:291-336; 1.5 arcsec cone, unique names)."""
+
+    __tablename__ = 'milliquas'
+
+    name = Column('TEXT')
+    ra = Column('REAL', index=True)
+    dec = Column('REAL', index=True)
+    rmag = Column('REAL')
+    qso_class = Column('TEXT')
+    z = Column('REAL')
+    extra = Column('TEXT')
+
+
+class TNSSource(Model):
+    """Transient Name Server catalog — local offline equivalent of the
+    reference's TNS cone search that fills the alert ``tnsid`` field
+    (zuds/crossmatch.py:338-383)."""
+
+    __tablename__ = 'tns'
+
+    name = Column('TEXT')
+    ra = Column('REAL', index=True)
+    dec = Column('REAL', index=True)
+    objtype = Column('TEXT')
+    redshift = Column('REAL')
+    internal_names = Column('TEXT')
+    extra = Column('TEXT')
+
+
+class ZTFName(Model):
+    """Known ZTF alert object names — local offline equivalent of the
+    reference's ZTF_alerts cone search that fills the alert ``ztfname``
+    field (zuds/crossmatch.py:244-288)."""
+
+    __tablename__ = 'ztf_names'
+
+    objectid = Column('TEXT', index=True)
+    ra = Column('REAL', index=True)
+    dec = Column('REAL', index=True)

@@ -116,10 +116,11 @@ def warp_image(img, u, v):
 def warp_mask(mask, u, v):
     """Conservative bitmask warp: OR of source mask over significant taps.
 
-    A tap is significant if its |Lanczos weight| > 5e-3, i.e. any source
-    pixel that meaningfully contributes flux also contributes its mask bits.
-    Outside coverage, returns 0 (callers set the alignment-nodata bit from
-    the coverage map).
+    A tap is significant if |wx| and |wy| each exceed sqrt(5e-3) — the
+    same per-axis rule as :func:`warp_shift_mask`, so gather and
+    shift-accumulate paths produce bit-identical masks. Outside coverage,
+    returns 0 (callers set the alignment-nodata bit from the coverage
+    map).
     """
     Hs, Ws = mask.shape
     iu, iv, fu, fv, inb = _tap_indices(u, v, (Hs, Ws))
@@ -128,12 +129,11 @@ def warp_mask(mask, u, v):
 
     out = jnp.zeros(u.shape, dtype=mask.dtype)
     for dy in range(-SUPPORT + 1, SUPPORT + 1):
-        wy = lanczos3(fv - dy)
+        takey = jnp.abs(lanczos3(fv - dy)) > _MASK_TAU
         rows = iv_c + dy
         for dx in range(-SUPPORT + 1, SUPPORT + 1):
-            w = lanczos3(fu - dx) * wy
+            take = takey & (jnp.abs(lanczos3(fu - dx)) > _MASK_TAU)
             vals = mask[rows, iu_c + dx]
-            take = jnp.abs(w) > 5e-3
             out = out | jnp.where(take, vals, 0).astype(mask.dtype)
     return jnp.where(inb, out, 0).astype(mask.dtype)
 
@@ -340,6 +340,7 @@ def warp_image_mask(img, mask, u, v):
     macc = jnp.zeros(u.shape, dtype=mask.dtype)
     for dy in range(-SUPPORT + 1, SUPPORT + 1):
         wy = lanczos3(fv - dy)
+        takey = jnp.abs(wy) > _MASK_TAU
         rows = iv_c + dy
         for dx in range(-SUPPORT + 1, SUPPORT + 1):
             wx = lanczos3(fu - dx)
@@ -347,7 +348,8 @@ def warp_image_mask(img, mask, u, v):
             acc = acc + img[rows, iu_c + dx] * w
             wacc = wacc + w
             mvals = mask[rows, iu_c + dx]
-            take = jnp.abs(w) > 5e-3
+            # per-axis significance rule, identical to warp_shift_mask
+            take = takey & (jnp.abs(wx) > _MASK_TAU)
             macc = macc | jnp.where(take, mvals, 0).astype(mask.dtype)
     out = acc / jnp.where(wacc == 0, 1.0, wacc)
     cov = inb.astype(jnp.float32)

@@ -45,7 +45,7 @@ from ..constants import (KERNEL_GAUSS_DEGREES, KERNEL_GAUSS_SIGMAS,
                          SUB_NODATA_SENTINEL)
 
 __all__ = ['KernelBasis', 'fit_kernel', 'apply_kernel',
-           'apply_kernel_blocked', 'apply_kernel_fast', 'subtract_frames']
+           'apply_kernel_fast', 'subtract_frames']
 
 
 def _einsum_hi(*args, **kwargs):
@@ -339,121 +339,16 @@ def _basis_layout(degrees):
     return meta, cols, col_rep
 
 
-@partial(jax.jit, static_argnames=('order', 'nreg', 'degrees'))
-def apply_kernel_blocked(ref, coeffs, basis_gx, basis_gy, basis_sums, b0_2d,
-                         order=KERNEL_SPATIAL_ORDER, nreg=NREG_SIDE,
-                         degrees=KERNEL_GAUSS_DEGREES):
-    """MXU-blocked spatially-varying model convolution (apply_kernel fast
-    path; bitwise-equivalent math, see tests/test_subtract.py).
-
-    The grouped-conv form costs ~74 ms/quadrant on v5e (XLA convs run far
-    below MXU peak at frame scale, docs/PERF.md). Here the whole apply is
-    two dense matmuls:
-
-    1. column pass: the basis has only C = sum(deg_i + 1) unique column
-       factors g_sig (u/sig)^p; one einsum over a K-shifted stack computes
-       all C channels.
-    2. row pass + contraction: the model needs only the Nm per-region term
-       fields E_m = sum_n a_nm (B_n * ref), never the Nb basis frames.
-       Blocking 8 output rows x Nm terms into one M = 8*Nm = 120 matmul
-       row-dim defeats the MXU's 128-padding (a naive (Nm x C) einsum
-       per row tap pads 15 -> 128 and wastes 8.5x, the r2 revert);
-       K = 22 row-taps x C channels = 330 pads to 384 only.
-
-    Replaces hotpants' spatially-varying convolution
-    (zuds/hotpants.py:77-93, -ko 4 -nrx 3 -nry 3).
-    """
-    import math
-    H, W = ref.shape
-    Nb, K = basis_gx.shape
-    r = K // 2
-    terms = spatial_terms(order)
-    Nm = len(terms)
-    R2 = nreg * nreg
-    a = coeffs[:, :Nb * Nm].reshape(R2, Nb, Nm)
-    bg = coeffs[:, -1]
-    hi = jax.lax.Precision.HIGHEST
-
-    # fold the sum-normalization into coefficient space (see apply_kernel)
-    s0 = jnp.sum(basis_gy[0]) * jnp.sum(basis_gx[0])
-    a0 = (a[:, 0, :] - _einsum_hi('rnm,n->rm', a[:, 1:, :],
-                                  basis_sums[1:])) / s0
-    a_t = jnp.concatenate([a0[:, None, :], a[:, 1:, :]], axis=1)
-
-    # static basis layout: unique (sigma, p) column factors
-    meta, cols, col_rep = _basis_layout(degrees)
-    assert len(meta) == Nb, (len(meta), Nb)
-    cu = np.asarray([cols.index((si, p)) for (si, p, q) in meta])
-    C = len(cols)
-    gxu = basis_gx[np.asarray([col_rep[c] for c in cols])]     # (C, K)
-
-    # --- column (W-axis) pass: U[c] = ref conv_x gxu[c]
-    refp = jnp.pad(ref, ((0, 0), (r, r)))
-    S1 = jnp.stack([refp[:, k:k + W] for k in range(K)])       # (K, H, W)
-    U = _einsum_hi('ck,khw->chw', gxu, S1)                     # (C, H, W)
-
-    # --- row (H-axis) pass + basis/term contraction, 8-row blocked
-    BR = 8
-    JJ = BR + K - 1
-    nb = -(-H // BR)
-    Up = jnp.pad(U, ((0, 0), (r, r + nb * BR - H), (0, 0)))
-
-    # static scatter: P[n, rr, jj, c] = gy[n, jj - rr] for c = cu(n)
-    onehot = np.zeros((Nb, C), np.float32)
-    onehot[np.arange(Nb), cu] = 1.0
-    shift = np.zeros((BR, JJ, K), np.float32)
-    for rr in range(BR):
-        for k in range(K):
-            shift[rr, rr + k, k] = 1.0
-    P = _einsum_hi('nk,rjk,nc->nrjc', basis_gy, jnp.asarray(shift),
-                   jnp.asarray(onehot))                        # (Nb,BR,JJ,C)
-
-    y_edges = [int(math.ceil(i * H / nreg)) for i in range(nreg)] + [H]
-    x_edges = [int(math.ceil(i * W / nreg)) for i in range(nreg)] + [W]
-    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
-    wx = W / (2.0 * nreg)
-    wy = H / (2.0 * nreg)
-
-    rows = []
-    for ri in range(nreg):
-        ys, ye = y_edges[ri], y_edges[ri + 1]
-        b0, b1 = ys // BR, -(-ye // BR)
-        # banded row-slice stack: Ost[jj, c, b, w] = Up[c, BR*b + jj, w]
-        Ost = jnp.stack([
-            jax.lax.slice(Up, (0, BR * b0 + jj, 0),
-                          (C, BR * (b1 - 1) + jj + 1, W),
-                          (1, BR, 1)) for jj in range(JJ)])    # (JJ,C,nb,W)
-        Ost = Ost.reshape(JJ * C, b1 - b0, W)
-        row = []
-        for rj in range(nreg):
-            x0, x1 = x_edges[rj], x_edges[rj + 1]
-            reg = ri * nreg + rj
-            QQ = _einsum_hi('nm,nrjc->rmjc', a_t[reg],
-                            P).reshape(BR * Nm, JJ * C)
-            V = _einsum_hi('pq,qbw->bpw', QQ, Ost[:, :, x0:x1])
-            V = V.reshape((b1 - b0) * BR, Nm, x1 - x0)
-            E = V[ys - b0 * BR: ys - b0 * BR + (ye - ys)]      # (h, Nm, w)
-            xn_l = (xx[:, x0:x1] - (rj + 0.5) * W / nreg) / wx
-            yn_l = (yy[ys:ye] - (ri + 0.5) * H / nreg) / wy
-            m_r = jnp.zeros((ye - ys, x1 - x0), jnp.float32) + bg[reg]
-            for m, (p, q) in enumerate(terms):
-                m_r = m_r + (xn_l ** p) * (yn_l ** q) * E[:, m, :]
-            row.append(m_r)
-        rows.append(jnp.concatenate(row, axis=1))
-    return jnp.concatenate(rows, axis=0)
-
-
 def apply_kernel_fast(ref, coeffs, basis_gx, basis_gy, basis_sums, b0_2d,
                       order=KERNEL_SPATIAL_ORDER, nreg=NREG_SIDE,
                       degrees=KERNEL_GAUSS_DEGREES):
-    """Dispatch to the MXU-blocked apply when the basis follows the
-    standard (sigma, degree) layout, else the grouped-conv form."""
-    nb_layout = sum((d + 1) * (d + 2) // 2 for d in degrees)
-    if basis_gx.shape[0] == nb_layout:
-        return apply_kernel_blocked(ref, coeffs, basis_gx, basis_gy,
-                                    basis_sums, b0_2d, order=order,
-                                    nreg=nreg, degrees=tuple(degrees))
+    """Apply-formulation dispatcher. The grouped separable conv remains
+    the fastest measured form on v5e at 76.5 ms/quadrant; every denser
+    MXU formulation LOST badly on this toolchain (docs/PERF.md r3):
+    8-row-blocked banded einsum 2298 ms, per-region dense NHWC conv2d
+    520 ms, and even a bare (15,15)x(15,HW) einsum costs 1772 ms — XLA
+    here runs big-N small-K contractions ~1000x below MXU peak. Kept as
+    the single call site so a future toolchain can swap the winner."""
     return apply_kernel(ref, coeffs, basis_gx, basis_gy, basis_sums,
                         b0_2d, order=order, nreg=nreg)
 

@@ -1,19 +1,19 @@
-"""Pallas TPU kernel: fused aligned Lanczos-3 warp of image + bitmask.
+"""Pallas TPU kernel: tiled aligned Lanczos-3 image warp.
 
-Same math as ``resample.warp_shift_image_mask`` (the SWarp-align
-replacement; ``zuds/swarp.py:107-154``) — a shift-accumulate Lanczos-3
-interpolation valid for |u-x|, |v-y| <= window — but executed per 32-row
-strip entirely in VMEM:
+Same math as ``resample.warp_shift_image`` (the SWarp-align replacement;
+``zuds/swarp.py:107-154``) — a shift-accumulate Lanczos-3 interpolation
+valid for |u-x|, |v-y| <= window — but executed per (64, 256) tile
+entirely in VMEM: each tile's input strip is DMA'd from HBM exactly
+once, the 15 column rotations are materialized once per tile, and the
+225 tap FMAs accumulate in vector registers with weights from the
+Lanczos angle-addition identity (4 transcendental fields per tile).
 
-* the XLA form streams every one of the (2*(window+3)+1)^2 = 225 shifted
-  full-frame multiply-adds through HBM (~70 GB of traffic, measured
-  204 ms/quadrant on v5e; tools/profile_stages.py r2);
-* here each strip (+halo) is DMA'd into VMEM once (~2x40 MB total) and the
-  225 taps are VMEM-local static slices — the kernel is VPU compute-bound
-  on the tap FMAs and the 2x(2P+1) Lanczos transcendental fields.
-
-The column weight fields wx are hoisted into a VMEM scratch stack (one
-lanczos3 eval per tap offset instead of one per tap pair).
+Status (docs/PERF.md round 3): measures 66 ms/quadrant — parity with the
+XLA shift-accumulate form, not faster — so the XLA form ships; this
+kernel is the starting point if the warp budget must shrink further.
+The r2 8-row strip variant (180 ms, per-statement scratch accumulation)
+and the fused image+mask variant (obsoleted by the separable
+``warp_shift_mask``) were deleted; findings live in docs/PERF.md.
 """
 from __future__ import annotations
 
@@ -25,10 +25,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .resample import (SUPPORT, lanczos3, _tap_weight_consts, _tap_phases,
+from .resample import (SUPPORT, _tap_weight_consts, _tap_phases,
                        _tap_weight)
 
-__all__ = ['warp_shift_image_mask_pallas', 'warp_tiled_pallas']
+__all__ = ['warp_tiled_pallas']
 
 
 def _warp_tile_kernel(u_ref, v_ref, imgp_ref, out_ref, cov_ref,
@@ -164,144 +164,3 @@ def warp_tiled_pallas(img, u, v, window=4, interpret=False):
         interpret=interpret,
     )(up, vp, imgp)
     return out[:H, :W], cov[:H, :W]
-
-
-def _warp_kernel(u_ref, v_ref, imgp_ref, maskp_ref,
-                 out_ref, mout_ref, cov_ref,
-                 img_s, mask_s, wx_s, wsum_s, acc_s, wacc_s, macc_s, sems,
-                 *, TH, P, Q, W, H, Wout):
-    i = pl.program_id(0)
-    row0 = i * TH
-    STRIP = TH + 2 * Q
-
-    cp_img = pltpu.make_async_copy(
-        imgp_ref.at[pl.ds(row0, STRIP), :], img_s, sems.at[0])
-    cp_msk = pltpu.make_async_copy(
-        maskp_ref.at[pl.ds(row0, STRIP), :], mask_s, sems.at[1])
-    cp_img.start()
-    cp_msk.start()
-
-    u = u_ref[:, :]                                   # (TH, Wout)
-    v = v_ref[:, :]
-    # tpu.iota is integer-only; cast after
-    ly = jax.lax.broadcasted_iota(jnp.int32, (TH, Wout), 0).astype(
-        jnp.float32)
-    x = jax.lax.broadcasted_iota(jnp.int32, (TH, Wout), 1).astype(
-        jnp.float32)
-    yabs = ly + row0.astype(jnp.float32)
-    du = u - x
-    dv = v - yabs
-
-    ntap = 2 * P + 1
-    wsum_s[:, :] = jnp.zeros((TH, Wout), jnp.float32)
-    for j in range(ntap):
-        wx_s[j] = lanczos3(du - (j - P))
-        wsum_s[:, :] = wsum_s[:, :] + wx_s[j]
-
-    cp_img.wait()
-    cp_msk.wait()
-
-    # accumulate IN scratch refs; the tap loop is fully unrolled (dynamic
-    # lane/sublane offsets must be 128/8-aligned on TPU, so slices are
-    # static). Mosaic holds ~2 transient vregs per unrolled tap statement,
-    # which is why the strip height TH is kept small — VMEM high-water is
-    # ~450 x (TH x Wout x 4B) temporaries.
-    acc_s[:, :] = jnp.zeros((TH, Wout), jnp.float32)
-    wacc_s[:, :] = jnp.zeros((TH, Wout), jnp.float32)
-    macc_s[:, :] = jnp.zeros((TH, Wout), jnp.int32)
-    for dy in range(-P, P + 1):
-        wy = lanczos3(dv - dy)
-        rs = Q + dy
-        for j in range(ntap):
-            dx = j - P
-            w = wx_s[j] * wy
-            acc_s[:, :] = acc_s[:, :] + \
-                img_s[rs:rs + TH, P + dx:P + dx + Wout] * w
-            macc_s[:, :] = macc_s[:, :] | jnp.where(
-                jnp.abs(w) > 5e-3,
-                mask_s[rs:rs + TH, P + dx:P + dx + Wout], 0)
-        wacc_s[:, :] = wacc_s[:, :] + wsum_s[:, :] * wy
-
-    inb = ((u >= SUPPORT - 1) & (u <= W - SUPPORT)
-           & (v >= SUPPORT - 1) & (v <= H - SUPPORT))
-    wacc = wacc_s[:, :]
-    out = acc_s[:, :] / jnp.where(wacc == 0.0, 1.0, wacc)
-    covf = inb.astype(jnp.float32)
-    out_ref[:, :] = out * covf
-    mout_ref[:, :] = jnp.where(inb, macc_s[:, :], 0)
-    cov_ref[:, :] = covf
-
-
-@partial(jax.jit, static_argnames=('window', 'interpret'))
-def warp_shift_image_mask_pallas(img, mask, u, v, window=4,
-                                 interpret=False):
-    """Drop-in Pallas equivalent of ``warp_shift_image_mask``.
-
-    Returns (warped f32, mask of input dtype, coverage f32). Valid when the
-    displacement |u - x|, |v - y| stays within ``window`` pixels everywhere
-    (callers bound it from the mapping grid).
-    """
-    H, W = img.shape
-    P = window + SUPPORT
-    Q = -(-P // 8) * 8            # scratch halo: DMA slices need 8-row tiles
-    TH = 8
-    nstrip = -(-H // TH)
-    Hpad = nstrip * TH
-    Wout = -(-W // 128) * 128
-    Wp = Wout + 128
-    assert Wp >= Wout + 2 * P
-
-    mdtype = mask.dtype
-    imgp = jnp.pad(img.astype(jnp.float32),
-                   ((Q, Hpad - H + Q), (P, Wp - W - P)))
-    maskp = jnp.pad(mask.astype(jnp.int32),
-                    ((Q, Hpad - H + Q), (P, Wp - W - P)))
-    up = jnp.pad(u.astype(jnp.float32), ((0, Hpad - H), (0, Wout - W)))
-    vp = jnp.pad(v.astype(jnp.float32), ((0, Hpad - H), (0, Wout - W)))
-
-    STRIP = TH + 2 * Q
-    kern = partial(_warp_kernel, TH=TH, P=P, Q=Q, W=W, H=H, Wout=Wout)
-    out, mout, cov = pl.pallas_call(
-        kern,
-        grid=(nstrip,),
-        in_specs=[
-            pl.BlockSpec((TH, Wout), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TH, Wout), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=[
-            pl.BlockSpec((TH, Wout), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TH, Wout), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TH, Wout), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Hpad, Wout), jnp.float32),
-            jax.ShapeDtypeStruct((Hpad, Wout), jnp.int32),
-            jax.ShapeDtypeStruct((Hpad, Wout), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((STRIP, Wp), jnp.float32),
-            pltpu.VMEM((STRIP, Wp), jnp.int32),
-            pltpu.VMEM((2 * P + 1, TH, Wout), jnp.float32),
-            pltpu.VMEM((TH, Wout), jnp.float32),
-            pltpu.VMEM((TH, Wout), jnp.float32),
-            pltpu.VMEM((TH, Wout), jnp.float32),
-            pltpu.VMEM((TH, Wout), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=int((2 * P + 1) ** 2 * 3 * H * W),
-            bytes_accessed=int(7 * H * W * 4),
-            transcendentals=int(2 * (2 * P + 1) * H * W),
-        ),
-        interpret=interpret,
-    )(up, vp, imgp, maskp)
-    return (out[:H, :W], mout[:H, :W].astype(mdtype), cov[:H, :W])
