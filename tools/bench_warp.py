@@ -81,6 +81,11 @@ def main():
     fns['mask_sep'] = lambda x: jnp.sum(
         (warp_shift_mask(mask | x.astype(jnp.int32) % 2, u, v, window=4)
          ).astype(jnp.float32)) + jnp.sum(x) * 1e-20
+    from zuds_tpu.ops.resample import warp_shift_image_sep
+    fns['sep1'] = lambda x: jnp.sum(
+        warp_shift_image_sep(x, u, v, window=4, order=1)[0])
+    fns['sep0'] = lambda x: jnp.sum(
+        warp_shift_image_sep(x, u, v, window=4, order=0)[0])
 
     for name in variants:
         per, comp = timed(fns[name], img, iters)

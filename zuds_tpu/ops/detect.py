@@ -366,11 +366,11 @@ DETECTION_FIELDS = [
 
 
 @partial(jax.jit, static_argnames=('max_det', 'minarea', 'return_labels',
-                                   'deblend', 'clean'))
+                                   'deblend', 'clean', 'dbg_stop_after'))
 def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                    nsigma=DETECT_NSIGMA, minarea=DETECT_NPIX,
                    max_det=MAX_DETECTIONS, kernel=None, return_labels=True,
-                   deblend=True, clean=True):
+                   deblend=True, clean=True, dbg_stop_after=None):
     """Detect sources on a background-subtracted frame.
 
     Parameters
@@ -410,6 +410,8 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     filt = conv2_same(img, kernel)
     thresh_map = nsigma * rms
     det = good & (filt > thresh_map)
+    if dbg_stop_after == 'filt':
+        return {'dbg': jnp.sum(det.astype(jnp.int32))}
 
     flat = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
     nseg = max_det + 2
@@ -432,6 +434,9 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
 
     def pos_of(lbl):
         return jnp.maximum(inv[jnp.clip(lbl, 0, H * W - 1)], 0)
+
+    if dbg_stop_after == 'compact':
+        return {'dbg': jnp.sum(pidx) + jnp.sum(inv)}
 
     # ---- base connected components ---------------------------------------
     # full-frame min-pool sweeps are the cheapest primitive (~0.6 ms each,
@@ -482,6 +487,8 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         ccl_cond, ccl_body, (lab0, jnp.array(True), jnp.array(0)))
     lab_c = jnp.where(pok, pidx[lab_p], H * W - 1)
     comppos = jnp.where(pok, lab_p, cap - 1)
+    if dbg_stop_after == 'ccl':
+        return {'dbg': jnp.sum(lab_c)}
 
     # ---- deblending ------------------------------------------------------
     # deblend='exact' (default True): SExtractor's DEBLEND_NTHRESH-level
@@ -511,6 +518,8 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     # costs one ~2 ms gather per pixel of path length)
     cellpos = jax.lax.fori_loop(0, 6, lambda _, p: p[p], ppos)
     p_c = jnp.where(pok, pidx[cellpos], H * W - 1)
+    if dbg_stop_after == 'cell':
+        return {'dbg': jnp.sum(p_c) + jnp.sum(lab_c)}
 
     if deblend == 'watershed':
         f_cell = jax.ops.segment_sum(jnp.where(pok, pos_c, 0.0), cellpos,
@@ -570,6 +579,8 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         deblend_overflow = jnp.int32(0)
         key_c = lab_c
 
+    if dbg_stop_after == 'deblend':
+        return {'dbg': jnp.sum(key_c)}
     # renumber deblended objects in raster order of their root pixels
     is_root_c = pok & (pidx == key_c)
     robj = jnp.cumsum(is_root_c.astype(jnp.int32))       # 1-based at roots
@@ -669,6 +680,9 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     elong = a / jnp.maximum(b, 1e-12)
     fwhm = 2.0 * jnp.sqrt(jnp.log(2.0) * (x2 + y2))
 
+    if dbg_stop_after == 'stats':
+        return {'dbg': (jnp.sum(flux) + jnp.sum(xbar) + jnp.sum(peak)
+                        + jnp.sum(imaflags) + jnp.sum(xmin))}
     # validity: real component rows are 1..max_det with npix >= minarea
     valid = (rows >= 1) & (rows <= max_det) & (npix >= minarea)
 

@@ -327,6 +327,99 @@ def warp_shift_image(img, u, v, window=4):
     return out * cov, cov
 
 
+def _lanczos3_d(t):
+    """d/dt of the Lanczos-3 kernel (exact, for the separable warp's
+    cross-term correction). L(t) = sinc(t) sinc(t/3) with sinc(t) =
+    sin(pi t)/(pi t);  L'(t) = [pi cos(pi t) sin(pi t/3)/3
+    + pi sin(pi t) cos(pi t/3)/3... assembled below via the product rule
+    on  L = 3 sin(pi t) sin(pi t/3) / (pi^2 t^2)."""
+    pt = jnp.float32(np.pi) * t
+    s1, c1 = jnp.sin(pt), jnp.cos(pt)
+    s3, c3 = jnp.sin(pt / 3.0), jnp.cos(pt / 3.0)
+    t2 = t * t
+    num = 3.0 / jnp.float32(np.pi ** 2)
+    # L = num * s1 * s3 / t^2
+    # L' = num * [ (pi c1 s3 + (pi/3) s1 c3) / t^2 - 2 s1 s3 / t^3 ]
+    safe_t2 = jnp.maximum(t2, 1e-12)
+    safe_t3 = safe_t2 * jnp.where(jnp.abs(t) < 1e-6, 1.0, t)
+    d = num * ((jnp.float32(np.pi) * c1 * s3
+                + jnp.float32(np.pi / 3.0) * s1 * c3) / safe_t2
+               - 2.0 * s1 * s3 / safe_t3)
+    # L'(t) ~ -(20/54) pi^2 t near 0 (odd function)
+    d = jnp.where(jnp.abs(t) < 1e-3,
+                  -2.0 * _TAYLOR_C * t, d)
+    return jnp.where(jnp.abs(t) < SUPPORT, d, 0.0)
+
+
+@partial(jax.jit, static_argnames=('window', 'order'))
+def warp_shift_image_sep(img, u, v, window=4, order=1):
+    """Separable two-pass Lanczos-3 warp with cross-term correction.
+
+    Same mapping semantics as :func:`warp_shift_image` but O(ntap) instead
+    of O(ntap^2) full-frame work: a horizontal pass with weights evaluated
+    at each SOURCE row, a vertical pass at the destination, plus an
+    ``order``-th order Taylor correction for the difference between the
+    column phase at the destination row and at the source row
+    (du(x, y+dy) vs du(x, y)). With dudy = max |du/dy| over the frame
+    (optics rotation/shear, ~1e-3 for same-field ZTF pairs), the residual
+    error after the first-order term is <= (P*dudy)^2/2 * max|L''| ~ 1e-4
+    relative — below the sub-mmag parity budget (tests/test_resample.py
+    pins it against the gather warp). Callers should fall back to
+    :func:`warp_shift_image` when the host plan reports a large rotation.
+
+    Returns (warped, coverage), identical coverage rule to the other warps.
+    """
+    H, W = img.shape
+    yy = jnp.arange(H, dtype=u.dtype)[:, None]
+    xx = jnp.arange(W, dtype=u.dtype)[None, :]
+    du = u - xx
+    dv = v - yy
+    inb = ((u >= SUPPORT - 1) & (u <= W - SUPPORT)
+           & (v >= SUPPORT - 1) & (v <= H - SUPPORT))
+
+    lo = -(window + SUPPORT)
+    hi = window + SUPPORT
+    # horizontal pass AT EACH ROW (phase du evaluated at that row):
+    # hp = sum_dx L(du - dx) img(:, x+dx);  hd the L' analogue;
+    # ws/wsd their weight sums (for the normalization).
+    hp = jnp.zeros(img.shape, jnp.float32)
+    hd = jnp.zeros(img.shape, jnp.float32)
+    ws = jnp.zeros(img.shape, jnp.float32)
+    wsd = jnp.zeros(img.shape, jnp.float32)
+    for dx in range(lo, hi + 1):
+        t = du - dx
+        wxt = lanczos3(t)
+        rolled = jnp.roll(img, -dx, axis=1)
+        hp = hp + rolled * wxt
+        ws = ws + wxt
+        if order >= 1:
+            wxd = _lanczos3_d(t)
+            hd = hd + rolled * wxd
+            wsd = wsd + wxd
+
+    # du/dy of the mapping (smooth; forward difference matches the
+    # bilinear-upsampled grid's piecewise-linear structure)
+    dudy = jnp.concatenate([u[1:] - u[:-1], u[-1:] - u[-2:-1]], axis=0)
+
+    acc = jnp.zeros(img.shape, jnp.float32)
+    wacc = jnp.zeros(img.shape, jnp.float32)
+    for dy in range(lo, hi + 1):
+        wy = lanczos3(dv - dy)
+        # value pass: hp at source row y+dy, phase-corrected to dest row
+        corr = (jnp.float32(dy) * dudy) if order >= 1 else None
+        hrow = jnp.roll(hp, -dy, axis=0)
+        wrow = jnp.roll(ws, -dy, axis=0)
+        if order >= 1:
+            hrow = hrow - corr * jnp.roll(hd, -dy, axis=0)
+            wrow = wrow - corr * jnp.roll(wsd, -dy, axis=0)
+        acc = acc + wy * hrow
+        wacc = wacc + wy * wrow
+
+    out = acc / jnp.where(wacc == 0, 1.0, wacc)
+    cov = inb.astype(jnp.float32)
+    return out * cov, cov
+
+
 @jax.jit
 def warp_image_mask(img, mask, u, v):
     """Fused science+mask warp sharing tap geometry. Returns (img, mask, cov)."""

@@ -168,33 +168,23 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
     # traces)
     R_s, S_s, W_s = jax.lax.optimization_barrier((R_s, S_s, W_s))
 
-    # basis-convolved reference stamps: C (S, Nb, Pi, Pi), via the separable
-    # trick run as one grouped conv per 1-D pass
-    x = R_s[:, None]                                            # (S,1,P,P)
-    kr = basis_gy[:, None, :, None]                             # rows
-    kc = basis_gx[:, None, None, :]                             # cols
+    # basis-convolved reference stamps C (S, Nb, Pi, Pi) via im2col + ONE
+    # HIGHEST einsum on the MXU: patches X (S, Pi, Pi, K*K) from K*K static
+    # slices (tiny: S*Pi*Pi*225 floats), contracted against the dense
+    # basis (Nb, K*K). The grouped separable 1-D convs this replaces ran
+    # ~25 ms/frame — XLA's conv emitter runs ~1000x below MXU peak at
+    # these channel counts (docs/PERF.md), while this einsum is
+    # MXU-shaped: M=S*Pi^2, K=225, N=Nb.
     hi = jax.lax.Precision.HIGHEST
-    t = jax.lax.conv_general_dilated(x, kr, (1, 1), [(0, 0), (0, 0)],
-                                     dimension_numbers=('NCHW', 'OIHW',
-                                                        'NCHW'),
-                                     precision=hi)
-    # t: (S, Nb, Pi', P); second pass must convolve each channel with its
-    # own column kernel -> feature_group_count=Nb
-    t2 = jax.lax.conv_general_dilated(t, kc, (1, 1), [(0, 0), (0, 0)],
-                                      dimension_numbers=('NCHW', 'OIHW',
-                                                         'NCHW'),
-                                      feature_group_count=Nb,
-                                      precision=hi)
-    C = t2                                                      # (S,Nb,Pi,Pi)
-    # sum-normalization: replace C_0 by conv(R, b0_2d); subtract
-    # sums_n * C_0 from the rest
-    b0k = jnp.asarray(b0_2d)[None, None]
-    C0 = jax.lax.conv_general_dilated(x, b0k, (1, 1), [(0, 0), (0, 0)],
-                                      dimension_numbers=('NCHW', 'OIHW',
-                                                         'NCHW'),
-                                      precision=hi)[:, 0]
-    C = C - basis_sums[None, :, None, None] * C0[:, None]
-    C = C.at[:, 0].set(C0)
+    X = jnp.stack([R_s[:, dy:dy + Pi, dx:dx + Pi]
+                   for dy in range(K) for dx in range(K)],
+                  axis=-1)                                   # (S,Pi,Pi,K*K)
+    dense = _einsum_hi('nk,nl->nkl', basis_gy, basis_gx)     # (Nb, K, K)
+    b0k = jnp.asarray(b0_2d)
+    dense = jnp.concatenate(
+        [b0k[None], dense[1:] - basis_sums[1:, None, None] * b0k[None]],
+        axis=0)                                              # sum-normalized
+    C = _einsum_hi('sijt,nt->snij', X, dense.reshape(Nb, K * K))
 
     off = K // 2
     y = S_s[:, off:off + Pi, off:off + Pi]
