@@ -238,3 +238,27 @@ def test_sep_warp_matches_exact_under_rotation(rng):
     rel = (np.abs(np.asarray(out) - np.asarray(ref))[m]
            / (np.abs(np.asarray(ref))[m] + 1.0))
     assert rel.max() < 5e-5
+
+
+def test_fused_sep_warp_matches_parts(rng):
+    """Fused sep image+mask warp == (warp_shift_image_sep, warp_shift_mask)
+    exactly (shared weight stacks, same tap rules)."""
+    from zuds_tpu.ops.resample import (warp_shift_image_sep, warp_shift_mask,
+                                       warp_shift_sep_image_mask)
+    H, W = 128, 128
+    img = smooth_image(H, W, rng)
+    mask = ((rng.random((H, W)) < 0.01) * 64).astype('i4')
+    Y, X = np.mgrid[0:H, 0:W].astype('f4')
+    th = np.deg2rad(0.05)
+    u = jnp.asarray(X + 2.1 + 0.5 * np.sin(Y / 40) - th * (Y - H / 2))
+    v = jnp.asarray(Y - 1.4 + 0.3 * np.cos(X / 30) + th * (X - W / 2))
+    mj = jnp.asarray(mask)
+    a, ca = warp_shift_image_sep(jnp.asarray(img), u, v, window=4, order=1)
+    m = warp_shift_mask(mj, u, v, window=4)
+    f_img, f_mask, f_cov = warp_shift_sep_image_mask(
+        jnp.asarray(img), mj, u, v, window=4, order=1)
+    assert np.array_equal(np.asarray(ca), np.asarray(f_cov))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(f_img))
+    # mask rule: identical outside coverage zeroing
+    np.testing.assert_array_equal(
+        np.asarray(jnp.where(ca > 0, m, 0)), np.asarray(f_mask))

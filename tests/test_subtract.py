@@ -226,3 +226,34 @@ def test_batched_pipeline_rms_matches_unbatched(rng):
         jnp.full((128, 128), 1.0), coeffs, args[9][0], args[10][0],
         args[11][0], args[12][0], order=cfg.order, nreg=cfg.nreg)
     assert np.all(np.asarray(ref_var) >= 0)
+
+
+@pytest.mark.parametrize('mode', ['highest', 'hilo'])
+def test_apply_s2d_matches_apply(rng, mode):
+    """The space-to-depth MXU apply must reproduce the grouped-conv apply
+    at all region boundaries (unaligned 256/3 edges) and frame borders."""
+    from zuds_tpu.ops.subtract import apply_kernel_s2d
+    H = W = 256
+    order, nreg = 4, 3
+    basis = KernelBasis(15, seeing_sigma=1.8)
+    Nm = len(spatial_terms(order))
+    coeffs = rng.normal(0, 0.05,
+                        (nreg * nreg, basis.nbasis * Nm + 1)).astype('f4')
+    coeffs[:, 0] += 1.0          # dominant flux-ratio term
+    ref = rng.normal(150.0, 5.0, (H, W)).astype('f4')
+    ref[60:70, 80:90] += 3000.0
+    base = np.asarray(apply_kernel(
+        jnp.asarray(ref), jnp.asarray(coeffs), basis.gx, basis.gy,
+        basis.sums, jnp.asarray(basis.b0_2d), order=order, nreg=nreg))
+    test = np.asarray(apply_kernel_s2d(
+        jnp.asarray(ref), jnp.asarray(coeffs), basis.gx, basis.gy,
+        basis.sums, jnp.asarray(basis.b0_2d), order=order, nreg=nreg,
+        mode=mode))
+    # both forms sit within ~1e-6 * scale of a float64 direct oracle
+    # (verified offline); compare relative to the model's dynamic range —
+    # a per-pixel |base|+1 denominator punishes accumulation-order noise
+    # on near-zero pixels
+    scale = np.abs(base).max()
+    tol = 3e-6 if mode == 'highest' else 5e-5
+    rel = np.abs(test - base) / scale
+    assert rel.max() < tol, (rel.max(), scale)

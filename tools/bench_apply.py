@@ -124,19 +124,33 @@ def main():
     PZ = P.reshape(H // D, D, W // D, D, NM).transpose(0, 2, 1, 3, 4)
     PZ = jnp.asarray(PZ.reshape(H // D, W // D, D * D * NM))
 
-    if 'base' in forms:
+    if 'base' in forms or 'real' in forms or 'real_hi' in forms:
         from zuds_tpu.ops.subtract import (KernelBasis, apply_kernel,
-                                           spatial_terms)
+                                           apply_kernel_s2d, spatial_terms)
         basis = KernelBasis(KS, seeing_sigma=2.0)
         nbm = basis.nbasis * len(spatial_terms(4)) + 1
         coeffs = jnp.asarray(rng.normal(0, 0.01, (9, nbm)).astype('f4'))
 
+    if 'base' in forms:
         def base(x):
             m = apply_kernel(x, coeffs, basis.gx, basis.gy, basis.sums,
                              jnp.asarray(basis.b0_2d), order=4, nreg=3)
             return jnp.sum(m[::997, ::991])
         per, comp = timed(base, img, iters)
         print(f'base grouped-conv apply : {per*1e3:8.2f} ms '
+              f'(compile {comp:.0f}s)', flush=True)
+
+    for nm_, md_ in (('real', 'hilo'), ('real_hi', 'highest')):
+        if nm_ not in forms:
+            continue
+
+        def realf(x, _m=md_):
+            m = apply_kernel_s2d(x, coeffs, basis.gx, basis.gy, basis.sums,
+                                 jnp.asarray(basis.b0_2d), order=4, nreg=3,
+                                 mode=_m)
+            return jnp.sum(m[::997, ::991])
+        per, comp = timed(realf, img, iters)
+        print(f'apply_kernel_s2d {md_:7s}: {per*1e3:8.2f} ms '
               f'(compile {comp:.0f}s)', flush=True)
 
     def s2d_conv(x, w, pz, prec):

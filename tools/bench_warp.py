@@ -86,6 +86,11 @@ def main():
         warp_shift_image_sep(x, u, v, window=4, order=1)[0])
     fns['sep0'] = lambda x: jnp.sum(
         warp_shift_image_sep(x, u, v, window=4, order=0)[0])
+    from zuds_tpu.ops.resample import warp_shift_sep_image_mask
+    fns['fused_sep'] = lambda x: jnp.sum(
+        warp_shift_sep_image_mask(x, mask, u, v, window=4, order=1)[0]
+    ) + jnp.sum(warp_shift_sep_image_mask(
+        x, mask, u, v, window=4, order=1)[1].astype(jnp.float32)) * 1e-20
 
     for name in variants:
         per, comp = timed(fns[name], img, iters)

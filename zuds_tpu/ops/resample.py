@@ -379,23 +379,26 @@ def warp_shift_image_sep(img, u, v, window=4, order=1):
 
     lo = -(window + SUPPORT)
     hi = window + SUPPORT
+    # HOIST the weight fields (same lesson as warp_shift_image: inline
+    # per-tap weight algebra measured 160 ms + a 7-min compile; an
+    # (ntap, H, W) HBM stack read back by cheap FMA taps wins)
+    wx = jnp.stack([lanczos3(du - dx) for dx in range(lo, hi + 1)])
+    wy = jnp.stack([lanczos3(dv - dy) for dy in range(lo, hi + 1)])
+    if order >= 1:
+        wxd = jnp.stack([_lanczos3_d(du - dx) for dx in range(lo, hi + 1)])
+
     # horizontal pass AT EACH ROW (phase du evaluated at that row):
     # hp = sum_dx L(du - dx) img(:, x+dx);  hd the L' analogue;
     # ws/wsd their weight sums (for the normalization).
     hp = jnp.zeros(img.shape, jnp.float32)
     hd = jnp.zeros(img.shape, jnp.float32)
-    ws = jnp.zeros(img.shape, jnp.float32)
-    wsd = jnp.zeros(img.shape, jnp.float32)
-    for dx in range(lo, hi + 1):
-        t = du - dx
-        wxt = lanczos3(t)
+    ws = jnp.sum(wx, axis=0)
+    wsd = jnp.sum(wxd, axis=0) if order >= 1 else None
+    for j, dx in enumerate(range(lo, hi + 1)):
         rolled = jnp.roll(img, -dx, axis=1)
-        hp = hp + rolled * wxt
-        ws = ws + wxt
+        hp = hp + rolled * wx[j]
         if order >= 1:
-            wxd = _lanczos3_d(t)
-            hd = hd + rolled * wxd
-            wsd = wsd + wxd
+            hd = hd + rolled * wxd[j]
 
     # du/dy of the mapping (smooth; forward difference matches the
     # bilinear-upsampled grid's piecewise-linear structure)
@@ -403,8 +406,7 @@ def warp_shift_image_sep(img, u, v, window=4, order=1):
 
     acc = jnp.zeros(img.shape, jnp.float32)
     wacc = jnp.zeros(img.shape, jnp.float32)
-    for dy in range(lo, hi + 1):
-        wy = lanczos3(dv - dy)
+    for j, dy in enumerate(range(lo, hi + 1)):
         # value pass: hp at source row y+dy, phase-corrected to dest row
         corr = (jnp.float32(dy) * dudy) if order >= 1 else None
         hrow = jnp.roll(hp, -dy, axis=0)
@@ -412,12 +414,77 @@ def warp_shift_image_sep(img, u, v, window=4, order=1):
         if order >= 1:
             hrow = hrow - corr * jnp.roll(hd, -dy, axis=0)
             wrow = wrow - corr * jnp.roll(wsd, -dy, axis=0)
-        acc = acc + wy * hrow
-        wacc = wacc + wy * wrow
+        acc = acc + wy[j] * hrow
+        wacc = wacc + wy[j] * wrow
 
     out = acc / jnp.where(wacc == 0, 1.0, wacc)
     cov = inb.astype(jnp.float32)
     return out * cov, cov
+
+
+@partial(jax.jit, static_argnames=('window', 'order'))
+def warp_shift_sep_image_mask(img, mask, u, v, window=4, order=1):
+    """Fused separable warp: image (two-pass Lanczos-3 with the
+    :func:`warp_shift_image_sep` cross-term correction) + significant-weight
+    OR bitmask, SHARING the hoisted per-axis weight stacks — the mask taps
+    are sign tests on the same wx/wy fields :func:`warp_shift_mask`
+    evaluates, so the mask output is bit-identical to that function
+    (tests/test_resample.py) while the ~30 transcendental field
+    evaluations are paid once instead of twice.
+
+    Returns (warped, mask_warped, coverage).
+    """
+    H, W = img.shape
+    yy = jnp.arange(H, dtype=u.dtype)[:, None]
+    xx = jnp.arange(W, dtype=u.dtype)[None, :]
+    du = u - xx
+    dv = v - yy
+    inb = ((u >= SUPPORT - 1) & (u <= W - SUPPORT)
+           & (v >= SUPPORT - 1) & (v <= H - SUPPORT))
+
+    lo = -(window + SUPPORT)
+    hi = window + SUPPORT
+    wx = jnp.stack([lanczos3(du - dx) for dx in range(lo, hi + 1)])
+    wy = jnp.stack([lanczos3(dv - dy) for dy in range(lo, hi + 1)])
+    if order >= 1:
+        wxd = jnp.stack([_lanczos3_d(du - dx) for dx in range(lo, hi + 1)])
+
+    hp = jnp.zeros(img.shape, jnp.float32)
+    hd = jnp.zeros(img.shape, jnp.float32)
+    ws = jnp.sum(wx, axis=0)
+    wsd = jnp.sum(wxd, axis=0) if order >= 1 else None
+    inner = jnp.zeros(mask.shape, dtype=mask.dtype)
+    for j, dx in enumerate(range(lo, hi + 1)):
+        rolled = jnp.roll(img, -dx, axis=1)
+        hp = hp + rolled * wx[j]
+        if order >= 1:
+            hd = hd + rolled * wxd[j]
+        take = jnp.abs(wx[j]) > _MASK_TAU
+        inner = inner | jnp.where(take, jnp.roll(mask, -dx, axis=1),
+                                  0).astype(mask.dtype)
+
+    dudy = jnp.concatenate([u[1:] - u[:-1], u[-1:] - u[-2:-1]], axis=0)
+
+    acc = jnp.zeros(img.shape, jnp.float32)
+    wacc = jnp.zeros(img.shape, jnp.float32)
+    macc = jnp.zeros(mask.shape, dtype=mask.dtype)
+    for j, dy in enumerate(range(lo, hi + 1)):
+        corr = (jnp.float32(dy) * dudy) if order >= 1 else None
+        hrow = jnp.roll(hp, -dy, axis=0)
+        wrow = jnp.roll(ws, -dy, axis=0)
+        if order >= 1:
+            hrow = hrow - corr * jnp.roll(hd, -dy, axis=0)
+            wrow = wrow - corr * jnp.roll(wsd, -dy, axis=0)
+        acc = acc + wy[j] * hrow
+        wacc = wacc + wy[j] * wrow
+        take = jnp.abs(wy[j]) > _MASK_TAU
+        macc = macc | jnp.where(take, jnp.roll(inner, -dy, axis=0),
+                                0).astype(mask.dtype)
+
+    out = acc / jnp.where(wacc == 0, 1.0, wacc)
+    cov = inb.astype(jnp.float32)
+    mout = jnp.where(inb, macc, 0).astype(mask.dtype)
+    return out * cov, mout, cov
 
 
 @jax.jit

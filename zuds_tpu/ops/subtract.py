@@ -339,8 +339,170 @@ def apply_kernel_fast(ref, coeffs, basis_gx, basis_gy, basis_sums, b0_2d,
     520 ms, and even a bare (15,15)x(15,HW) einsum costs 1772 ms — XLA
     here runs big-N small-K contractions ~1000x below MXU peak. Kept as
     the single call site so a future toolchain can swap the winner."""
+    H, W = ref.shape
+    if H % 8 == 0 and W % 8 == 0 and basis_gx.shape[1] <= 17:
+        return apply_kernel_s2d(ref, coeffs, basis_gx, basis_gy,
+                                basis_sums, b0_2d, order=order, nreg=nreg)
     return apply_kernel(ref, coeffs, basis_gx, basis_gy, basis_sums,
                         b0_2d, order=order, nreg=nreg)
+
+
+def _s2d(img, d=8):
+    """Space-to-depth: (H, W) -> (H/d, W/d, d*d), channel = cy*d + cx."""
+    H, W = img.shape
+    z = img.reshape(H // d, d, W // d, d)
+    return jnp.transpose(z, (0, 2, 1, 3)).reshape(H // d, W // d, d * d)
+
+
+def _inv_s2d(z, d=8):
+    HY, WX, _ = z.shape
+    z = z.reshape(HY, WX, d, d)
+    return jnp.transpose(z, (0, 2, 1, 3)).reshape(HY * d, WX * d)
+
+
+@partial(jax.jit, static_argnames=('order', 'nreg', 'mode'))
+def apply_kernel_s2d(ref, coeffs, basis_gx, basis_gy, basis_sums, b0_2d,
+                     order=KERNEL_SPATIAL_ORDER, nreg=NREG_SIDE,
+                     mode='highest'):
+    """MXU-shaped apply: space-to-depth dense conv per region panel.
+
+    The grouped separable conv streams 2*Nb 1-D convs on the VPU
+    (76.5 ms/quadrant); XLA's TPU conv emitter only reaches the MXU at
+    CNN-like channel counts. So: fold the 49-function basis and the
+    per-region spatial-term coefficients into Nm dense 15x15 kernels per
+    region, pack the frame (H, W) -> (H/8, W/8, 64) space-to-depth, and
+    run each region's panel as ONE 3x3 x 64 -> 64*Nm NHWC conv (the
+    CNN shape the emitter tiles well), then blend the Nm term channels
+    with the local polynomial fields and unpack. Exact zero-pad 'same'
+    semantics at frame borders; interior panel edges read real
+    neighboring cells from the globally padded pack, so the result is
+    bit-comparable to :func:`apply_kernel` (tests/test_subtract.py pins
+    <1e-4 relative).
+
+    mode: 'highest' (f32 HIGHEST dot — the measured winner, 24.7 ms vs
+    141.5 ms for an explicit bf16 hi/lo 3-pass on v5e), 'hilo', 'bf16'.
+    Reference config: hotpants -ko 4 -nrx 3 -nry 3
+    (zuds/hotpants.py:77-93).
+    """
+    import math
+    H, W = ref.shape
+    Nb, K = basis_gx.shape
+    assert H % 8 == 0 and W % 8 == 0 and K <= 17
+    terms = spatial_terms(order)
+    Nm = len(terms)
+    R2 = nreg * nreg
+    a = coeffs[:, :Nb * Nm].reshape(R2, Nb, Nm)
+    bg = coeffs[:, -1]
+
+    # dense sum-normalized basis -> per-(region, term) kernels on device
+    raw = _einsum_hi('nk,nl->nkl', basis_gy, basis_gx)        # (Nb, K, K)
+    b0 = jnp.asarray(b0_2d)
+    dense = jnp.concatenate(
+        [b0[None], raw[1:] - basis_sums[1:, None, None] * b0[None]], axis=0)
+    kd = _einsum_hi('rnm,nkl->rmkl', a, dense)                # (R2,Nm,K,K)
+    # pad K up to 17 so the 3x3-block fold below always covers the support
+    if K < 17:
+        p = (17 - K) // 2
+        kd = jnp.pad(kd, ((0, 0), (0, 0), (p, p), (p, p)))
+    KP = 17
+    r = KP // 2
+
+    # fold kernels into the s2d conv weight (3, 3, 64, 64*Nm) per region:
+    # out channel co*Nm+m at s2d cell offset (co//8, co%8) reads input
+    # channel ci of block (dY, dX) with weight kd[m, ky, kx] where
+    # iy = (dY-1)*8 + ci//8 = co//8 + ky - r (likewise x). All index
+    # algebra is STATIC numpy -> the fold is one fixed-index gather.
+    dY_i, dX_i, ci_i, co_i = np.meshgrid(
+        np.arange(3), np.arange(3), np.arange(64), np.arange(64),
+        indexing='ij')
+    ky_m = (dY_i - 1) * 8 + ci_i // 8 - co_i // 8 + r
+    kx_m = (dX_i - 1) * 8 + ci_i % 8 - co_i % 8 + r
+    valid = ((ky_m >= 0) & (ky_m < KP) & (kx_m >= 0)
+             & (kx_m < KP))                                   # (3,3,64,64)
+    kyc = jnp.asarray(np.clip(ky_m, 0, KP - 1))
+    kxc = jnp.asarray(np.clip(kx_m, 0, KP - 1))
+    gath = kd[:, :, kyc, kxc]                        # (R2, Nm, 3,3,64,64)
+    gath = jnp.where(jnp.asarray(valid)[None, None], gath, 0.0)
+    wbig = gath.transpose(0, 2, 3, 4, 5, 1).reshape(
+        R2, 3, 3, 64, 64 * Nm)
+
+    z = _s2d(ref)                                             # (HY, WX, 64)
+    HY, WX = z.shape[:2]
+
+    y_edges = [int(math.ceil(i * H / nreg)) for i in range(nreg)] + [H]
+    x_edges = [int(math.ceil(i * W / nreg)) for i in range(nreg)] + [W]
+    # aligned panel bounds per region (s2d cells)
+    pan = []
+    for ri in range(nreg):
+        y0, y1 = y_edges[ri], y_edges[ri + 1]
+        for rj in range(nreg):
+            x0, x1 = x_edges[rj], x_edges[rj + 1]
+            pan.append(((y0 // 8), -(-y1 // 8), (x0 // 8), -(-x1 // 8)))
+    PYm = max(p[1] - p[0] for p in pan)
+    PXm = max(p[3] - p[2] for p in pan)
+    # pad once so every (PYm+2, PXm+2) halo window is in-bounds
+    ey = max(p[0] + PYm + 1 for p in pan) - HY
+    ex = max(p[2] + PXm + 1 for p in pan) - WX
+    zp = jnp.pad(z, ((1, 1 + max(ey, 0)), (1, 1 + max(ex, 0)), (0, 0)))
+
+    # im2col in s2d space: X (R2, PYm*PXm, 9*64) — 9 shifted (PYm, PXm)
+    # views per panel, channel order (dY, dX, ci) matching wbig's fold
+    cols = []
+    for (cy0, _, cx0, _) in pan:
+        shifts = [zp[cy0 + dY:cy0 + dY + PYm, cx0 + dX:cx0 + dX + PXm]
+                  for dY in range(3) for dX in range(3)]
+        cols.append(jnp.concatenate(shifts, axis=-1))        # (PYm,PXm,576)
+    X = jnp.stack(cols).reshape(R2, PYm * PXm, 9 * 64)
+    wmat = wbig.reshape(R2, 9 * 64, 64 * Nm)
+
+    # ONE batched matmul — the MXU shape (M=PYm*PXm, K=576, N=64*Nm);
+    # per-panel convs at (129, 130) spatial measured 2618 ms on v5e (the
+    # conv emitter needs large spatial tiles), the batched dot runs the
+    # identical FLOPs as clean 128x128 MXU tiles
+    if mode == 'highest':
+        out = _einsum_hi('rps,rsn->rpn', X, wmat)
+    else:
+        Xh = X.astype(jnp.bfloat16)
+        wh = wmat.astype(jnp.bfloat16)
+        mm = partial(jnp.einsum, 'rps,rsn->rpn',
+                     preferred_element_type=jnp.float32)
+        out = mm(Xh, wh)
+        if mode == 'hilo':
+            Xl = (X - Xh.astype(jnp.float32)).astype(jnp.bfloat16)
+            wl = (wmat - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = out + mm(Xh, wl) + mm(Xl, wh)
+    out = out.reshape(R2, PYm, PXm, 64, Nm)
+
+    wx_h = W / (2.0 * nreg)
+    wy_h = H / (2.0 * nreg)
+    yy_full = jnp.arange(H, dtype=jnp.float32)
+    xx_full = jnp.arange(W, dtype=jnp.float32)
+
+    rows = []
+    for ri in range(nreg):
+        row = []
+        y0, y1 = y_edges[ri], y_edges[ri + 1]
+        for rj in range(nreg):
+            rr = ri * nreg + rj
+            x0, x1 = x_edges[rj], x_edges[rj + 1]
+            cy0, cy1, cx0, cx1 = pan[rr]
+            PY, PX = cy1 - cy0, cx1 - cx0
+            ya0, xa0 = cy0 * 8, cx0 * 8
+            # local spatial-term fields on the panel's pixel grid
+            xn_l = ((xx_full[xa0:xa0 + PX * 8] - (rj + 0.5) * W / nreg)
+                    / wx_h)[None, :]
+            yn_l = ((yy_full[ya0:ya0 + PY * 8] - (ri + 0.5) * H / nreg)
+                    / wy_h)[:, None]
+            P = jnp.stack([(xn_l ** p) * (yn_l ** q) for p, q in terms],
+                          axis=-1)                           # (PH,PW,Nm)
+            Pz = P.reshape(PY, 8, PX, 8, Nm).transpose(0, 2, 1, 3, 4)
+            blended = (out[rr, :PY, :PX]
+                       * Pz.reshape(PY, PX, 64, Nm)).sum(-1)
+            m_r = _inv_s2d(blended) + bg[rr]
+            row.append(m_r[y0 - ya0:y0 - ya0 + (y1 - y0),
+                           x0 - xa0:x0 - xa0 + (x1 - x0)])
+        rows.append(jnp.concatenate(row, axis=1))
+    return jnp.concatenate(rows, axis=0)
 
 
 @partial(jax.jit, static_argnames=('order', 'nreg'))
