@@ -44,8 +44,13 @@ def main():
     imgj = jnp.asarray(img)
     rmsj = jnp.full((H, W), 5.0, jnp.float32)
 
+    # plain loop over DISTINCT inputs with one final sync (the bisect
+    # pattern) — a lax.scan-wrapped timing body intermittently wedges the
+    # remote compile service for these large programs (r3 observation),
+    # and distinct inputs defeat the axon request cache just as well
     prev = 0.0
     for st in stages:
+        @jax.jit
         def fn(x, _st=st):
             out = detect_sources(x, rmsj, return_labels=False,
                                  dbg_stop_after=_st)
@@ -53,17 +58,14 @@ def main():
                 return out['flux'].sum() + out['n'].astype(jnp.float32)
             return out['dbg'].astype(jnp.float32)
 
-        def body(c, i):
-            s = fn(c)
-            return imgj + (s * 1e-20 + i * 1e-6), None
-
-        run = jax.jit(lambda x: jax.lax.scan(
-            body, x, jnp.arange(iters, dtype=jnp.float32))[0])
         t0 = time.time()
-        run(imgj).block_until_ready()
+        fn(imgj).block_until_ready()
         comp = time.time() - t0
         t0 = time.time()
-        run(imgj + 1e-3).block_until_ready()
+        acc = None
+        for i in range(iters):
+            acc = fn(imgj + (i + 1) * 1e-3)
+        acc.block_until_ready()
         per = (time.time() - t0) / iters
         print(f'through {st or "FULL":8s} {per * 1e3:9.2f} ms '
               f'(delta {(per - prev) * 1e3:+9.2f} ms, compile {comp:.0f}s)',

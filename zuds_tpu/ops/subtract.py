@@ -212,17 +212,29 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
     yf = y.reshape(y.shape[0], Pi * Pi)
     wf = w.reshape(w.shape[0], Pi * Pi)
 
+    # The dominant fit FLOPs — the per-stamp Gram blocks
+    # CtC0[s] = C_s^T diag(w_s) C_s (S x (Nb,Pi^2)@(Pi^2,Nb), ~1.3 TFLOP
+    # at the parity config) — do NOT depend on the rejection state:
+    # stamp rejection enters only as a per-stamp {0,1} scalar, and
+    # scaling by exact 0/1 commutes bit-for-bit with the p-contraction
+    # in f32. Hoist them out of the 3-pass rejection loop (3x -> 1x).
+    CtC0 = _einsum_hi('snp,sp,smp->snm', Cf, wf, Cf)             # (S,Nb,Nb)
+    Cw0 = _einsum_hi('snp,sp->sn', Cf, wf)                       # (S,Nb)
+    wsum0 = jnp.sum(wf, axis=1)                                  # (S,)
+    TT = _einsum_hi('sm,sl->sml', T, T)                          # (S,Nm,Nm)
+
     def normal_eq(stamp_ok):
-        sw = wf * (stamp_ok & svalid)[:, None].astype(jnp.float32)
+        okf = (stamp_ok & svalid).astype(jnp.float32)
+        sw = wf * okf[:, None]
         # F_s[(p),(n,m)] = C[s,n,p] * T[s,m]; plus bg column of ones
-        # G_s = F^T diag(w) F ; assembled with einsums (MXU)
-        CtC = _einsum_hi('snp,sp,smp->snm', Cf, sw, Cf)          # (S,Nb,Nb)
-        TT = _einsum_hi('sm,sl->sml', T, T)                      # (S,Nm,Nm)
-        G_bb = _einsum_hi('snm,skl,sr->rnkml', CtC, TT, rhot)
+        # G_s = F^T diag(w) F ; assembled with einsums (MXU), the ok
+        # scalar folded into the stamp->region one-hot
+        rhow = rhot * okf[:, None]                               # (S, R2)
+        G_bb = _einsum_hi('snm,skl,sr->rnkml', CtC0, TT, rhow)
         G_bb = G_bb.reshape(R2, Nb * Nm, Nb * Nm)
-        Cw = _einsum_hi('snp,sp->sn', Cf, sw)                    # (S,Nb)
-        G_bg = _einsum_hi('sn,sm,sr->rnm', Cw, T, rhot).reshape(R2, Nb * Nm)
-        wsum = _einsum_hi('sp,sr->r', sw, rhot)
+        G_bg = _einsum_hi('sn,sm,sr->rnm', Cw0, T, rhow).reshape(
+            R2, Nb * Nm)
+        wsum = _einsum_hi('s,sr->r', wsum0, rhow)
         G = jnp.zeros((R2, D, D))
         G = G.at[:, :Nb * Nm, :Nb * Nm].set(G_bb)
         G = G.at[:, :Nb * Nm, -1].set(G_bg)

@@ -25,7 +25,7 @@ from ..constants import (BAD_SUM, BKG_VAL, BKG_BOX_SIZE, DETECT_NSIGMA,
                          SUB_NODATA_SENTINEL, BIG_RMS)
 from ..ops.resample import (upsample_mapping, warp_image_mask,
                             warp_shift_image_mask, warp_shift_image,
-                            warp_shift_mask)
+                            warp_shift_mask, warp_shift_sep_image_mask)
 from ..ops.background import background_mesh
 from ..ops.detect import detect_sources
 from ..ops.photometry import aperture_photometry_batched
@@ -57,6 +57,14 @@ class PipelineConfig:
     # (references are deep uniform-noise coadds; a global bisect-median
     # sigma is accurate and saves a mesh pass)
     ref_rms_mesh: bool = False
+    # separable two-pass Lanczos-3 reference warp (fused with the mask
+    # OR, sharing weight stacks): ~2*(2w+7) taps instead of (2w+7)^2,
+    # <5e-5 relative vs the exact 2-D form (tests/test_resample.py).
+    # MEASURED SLOWER in the full program (443 vs 351 ms/frame on v5e,
+    # tools/bench_ab.py r3): the three hoisted (2w+7, H, W) weight-field
+    # stacks cost more HBM traffic than the 225 fused-weight taps save
+    # in FLOPs. Default stays the exact form; see docs/PERF.md.
+    sep_warp: bool = False
     # detect_sources deblend mode: True (exact 32-level tree),
     # 'watershed', or False
     deblend: object = True
@@ -100,10 +108,15 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
         # batched submask matches the unbatched one bit-for-bit (an r2 box
         # OR dilated every masked pixel by a ~7 px halo, over-masking
         # tracks/saturation columns; VERDICT r2 weak #3).
-        refw, cov = warp_shift_image(ref, u, v, window=cfg.max_shift)
-        refm = warp_shift_mask(ref_mask.astype(jnp.uint32), u, v,
-                               window=cfg.max_shift)
-        refm = jnp.where(cov > 0, refm, jnp.uint32(0))
+        if cfg.sep_warp:
+            refw, refm, cov = warp_shift_sep_image_mask(
+                ref, ref_mask.astype(jnp.uint32), u, v,
+                window=cfg.max_shift)
+        else:
+            refw, cov = warp_shift_image(ref, u, v, window=cfg.max_shift)
+            refm = warp_shift_mask(ref_mask.astype(jnp.uint32), u, v,
+                                   window=cfg.max_shift)
+            refm = jnp.where(cov > 0, refm, jnp.uint32(0))
         submask = sci_mask.astype(jnp.uint32) | refm
         submask = submask | jnp.where(cov == 0,
                                       jnp.uint32(1 << MASK_BIT_NODATA_ALIGN),
