@@ -46,9 +46,11 @@ def main():
             out = pipe(argsj[0] + (i + 1) * 1e-3, *argsj[1:])
         jax.block_until_ready(out)
         per = (time.time() - t0) / iters
+        nd = (int(np.asarray(out['det_n']).sum())
+              if 'det_n' in out else -1)
         print(f'{spec:40s} {per * 1e3:9.2f} ms/frame '
               f'({1.0 / per:5.2f} q/s, compile {comp:.0f}s, '
-              f'ndet={int(np.asarray(out["det_n"]).sum())})', flush=True)
+              f'ndet={nd})', flush=True)
 
 
 if __name__ == '__main__':

@@ -366,11 +366,13 @@ DETECTION_FIELDS = [
 
 
 @partial(jax.jit, static_argnames=('max_det', 'minarea', 'return_labels',
-                                   'deblend', 'clean', 'dbg_stop_after'))
+                                   'deblend', 'clean', 'det_cap',
+                                   'dbg_stop_after'))
 def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                    nsigma=DETECT_NSIGMA, minarea=DETECT_NPIX,
                    max_det=MAX_DETECTIONS, kernel=None, return_labels=True,
-                   deblend=True, clean=True, dbg_stop_after=None):
+                   deblend=True, clean=True, det_cap=None,
+                   dbg_stop_after=None):
     """Detect sources on a background-subtracted frame.
 
     Parameters
@@ -419,8 +421,12 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     # TPU scatter/gather discipline: segment-reduce over a fixed-capacity
     # COMPACTED pixel list, not the full frame — detected pixels are <<1% of
     # a frame and full-frame scatters/gathers cost ~100 ms each. Capacity
-    # overflow drops the raggedest tail (counted in ``pix_overflow``).
-    cap = min(H * W, max(1 << 14, 64 * max_det))
+    # overflow drops the raggedest tail (counted in ``pix_overflow`` and
+    # raised as FLAGS bit 128 on every object). Every detect cost scales
+    # with ``cap``: 32 px/object is already generous for real subtraction
+    # frames (whole-program A/B r3: cap 64k -> 32k saves ~38 ms/frame);
+    # crowded-field truncation is detectable, not silent.
+    cap = det_cap if det_cap else min(H * W, max(1 << 14, 32 * max_det))
     det_flat = det.ravel()
     ndet_pix = jnp.sum(det_flat.astype(jnp.int32))
     pidx = jnp.nonzero(det_flat, size=cap, fill_value=H * W - 1)[0]
@@ -546,7 +552,7 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         ncell_comp = jax.ops.segment_sum(is_peak.astype(jnp.int32),
                                          comppos, num_segments=cap)
         multi = pok & (ncell_comp[comppos] >= 2)
-        cap2 = min(cap, max(1 << 14, cap // 4))
+        cap2 = min(cap, max(1 << 13, cap // 4))
         nmulti = jnp.sum(multi.astype(jnp.int32))
         idx2 = jnp.nonzero(multi, size=cap2, fill_value=cap - 1)[0]
         pok2 = jnp.arange(cap2) < jnp.minimum(nmulti, cap2)

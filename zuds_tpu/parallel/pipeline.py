@@ -76,6 +76,11 @@ class PipelineConfig:
     # 'warp' | 'bkg' | 'fit' | 'apply' | 'noise' | 'detect'; returns only
     # {'diff': <last full-frame product>} for stage timing
     dbg_stop_after: str = None
+    # truncate INSIDE detect_sources ('filt'|'compact'|'ccl'|'cell'|
+    # 'deblend'|'stats') — bisects the detect budget through the healthy
+    # whole-pipeline compile path (the standalone detect-only program
+    # intermittently wedges the tunnel's remote compiler)
+    det_dbg_stop_after: str = None
 
 
 def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
@@ -201,7 +206,10 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
 
         det = detect_sources(diff, rms_out, submask, ~bad,
                              nsigma=cfg.nsigma, max_det=cfg.max_det,
-                             return_labels=False, deblend=cfg.deblend)
+                             return_labels=False, deblend=cfg.deblend,
+                             dbg_stop_after=cfg.det_dbg_stop_after)
+        if cfg.det_dbg_stop_after is not None:
+            return {'diff': diff + det['dbg'].astype(jnp.float32)}
         if cfg.dbg_stop_after == 'detect':
             return {'diff': diff + det['n'].astype(jnp.float32)}
         phot = aperture_photometry_batched(diff, rms_out, submask,
