@@ -199,7 +199,7 @@ def run_night(work, batch=4, ml=True, db=True, cfg=None, loader=None,
 
     ARG_KEYS = ['sci', 'sci_mask', 'ref', 'ref_mask', 'grid_u', 'grid_v',
                 'stamp_x', 'stamp_y', 'stamp_valid', 'basis_gx', 'basis_gy',
-                'basis_sums', 'b0']
+                'basis_sums', 'b0', 'cov_bounds']
 
     def fallback(sci_path, ref_path):
         """Per-pair chain (the reference's rank-loop granularity)."""

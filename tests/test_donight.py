@@ -20,8 +20,12 @@ def night_dir(tmp_path_factory):
     rng = np.random.default_rng(11)
     d = tmp_path_factory.mktemp('night')
     xs, ys, fluxes = synth_field(rng)
+    # a realistic ~9 px dither between ref and sci pointings: forces the
+    # prepare_frame_inputs host integer pre-roll into the max_shift=2
+    # warp bucket (the production path; residual > bucket would raise and
+    # divert to the per-pair fallback, failing the q/s expectations here)
     wcs_ref = TPVWCS.simple(crval=(150.1, 35.2),
-                            crpix=(W / 2 + 2.6, H / 2 - 1.2),
+                            crpix=(W / 2 + 9.6, H / 2 - 6.2),
                             scale_deg=SCALE)
     wcs_sci = TPVWCS.simple(crval=(150.1, 35.2),
                             crpix=(W / 2 + 0.5, H / 2 + 0.5),

@@ -80,6 +80,8 @@ def synth_batch(rng, B):
         'basis_sums': np.broadcast_to(np.asarray(basis.sums),
                                       (B,) + basis.sums.shape).copy(),
         'b0': np.broadcast_to(basis.b0_2d, (B,) + basis.b0_2d.shape).copy(),
+        'cov_bounds': np.broadcast_to(
+            np.asarray([2.0, W - 3.0, 2.0, H - 3.0], 'f4'), (B, 4)).copy(),
     }, (tx, ty)
 
 
@@ -91,7 +93,7 @@ def _run_sharded_pipeline(rng):
     args = [inputs[k] for k in
             ['sci', 'sci_mask', 'ref', 'ref_mask', 'grid_u', 'grid_v',
              'stamp_x', 'stamp_y', 'stamp_valid', 'basis_gx', 'basis_gy',
-             'basis_sums', 'b0']]
+             'basis_sums', 'b0', 'cov_bounds']]
     with mesh:
         sharded = shard_batch(mesh, *args)
         # shard_map over 'data': each device runs its local frames
@@ -192,7 +194,7 @@ def test_interleave_matches_sequential(rng):
     args = [jnp.asarray(inputs[k]) for k in
             ['sci', 'sci_mask', 'ref', 'ref_mask', 'grid_u', 'grid_v',
              'stamp_x', 'stamp_y', 'stamp_valid', 'basis_gx', 'basis_gy',
-             'basis_sums', 'b0']]
+             'basis_sums', 'b0', 'cov_bounds']]
     from dataclasses import replace
     p1 = make_subtract_detect_pipeline(CFG)
     p2 = make_subtract_detect_pipeline(replace(CFG, interleave=2))

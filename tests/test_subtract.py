@@ -257,3 +257,88 @@ def test_apply_s2d_matches_apply(rng, mode):
     tol = 3e-6 if mode == 'highest' else 5e-5
     rel = np.abs(test - base) / scale
     assert rel.max() < tol, (rel.max(), scale)
+
+
+def test_preroll_bucket_matches_wide_window(rng):
+    """A dithered mapping run through the host integer pre-roll +
+    max_shift=2 bucket (what prepare_frame_inputs produces) must match
+    the same pair run unrolled through a window that covers the full
+    dither: bit-equal warped reference on the common coverage, coverage
+    lost only in the dither-wide edge bands, and a consistent diff."""
+    import jax
+    import jax.numpy as jnp
+    from zuds_tpu.parallel import PipelineConfig
+    from zuds_tpu.parallel.pipeline import make_subtract_detect_pipeline
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+    from __graft_entry__ import _synth_inputs
+    from zuds_tpu.ops.resample import SUPPORT
+
+    H = Wd = 128
+    du0, dv0 = 7, -5          # integer dither (grid == rolled data)
+    base = dict(height=H, width=Wd, ksize=9, stamp=25, smax=8,
+                order=0, nreg=1, max_det=32, box=64)
+    args = [np.asarray(a) for a in
+            _synth_inputs(1, H, Wd, PipelineConfig(**base), seed=5)]
+    ref = args[2][0]
+    args[2] = np.roll(ref, (dv0, du0), axis=(0, 1)).astype('f4')[None]
+    gu = args[4] + np.float32(du0)
+    gv = args[5] + np.float32(dv0)
+
+    # CASE A: wide window, no pre-roll, plain source bounds
+    argsA = list(args)
+    argsA[4], argsA[5] = gu, gv
+    # CASE B: emulate prepare_frame_inputs — host pre-roll + shifted
+    # coverage bounds + max_shift=2
+    argsB = list(args)
+    argsB[2] = np.roll(args[2][0], (-dv0, -du0), axis=(0, 1))[None]
+    argsB[4], argsB[5] = gu - du0, gv - dv0
+    covb = np.asarray([SUPPORT - 1 - du0, Wd - SUPPORT - du0,
+                       SUPPORT - 1 - dv0, H - SUPPORT - dv0], 'f4')
+    argsB[13] = covb[None]
+
+    def run(a, ms, stop=None):
+        cfg = PipelineConfig(**base, max_shift=ms, dbg_stop_after=stop)
+        return jax.device_get(make_subtract_detect_pipeline(cfg)(
+            *[jnp.asarray(x) for x in a]))
+
+    # warp-level: refw + cov, exactly equal wherever BOTH cover
+    wA = np.asarray(run(argsA, 10, 'warp')['diff'][0])
+    wB = np.asarray(run(argsB, 2, 'warp')['diff'][0])
+    both_w = (wA != 0) & (wB != 0)
+    assert both_w.mean() > 0.8
+    np.testing.assert_array_equal(wA[both_w], wB[both_w])
+
+    outA = run(argsA, 10)
+    outB = run(argsB, 2)
+    dA = np.asarray(outA['diff'][0])
+    dB = np.asarray(outB['diff'][0])
+    from zuds_tpu.constants import SUB_NODATA_SENTINEL
+    covA = dA != SUB_NODATA_SENTINEL
+    covB = dB != SUB_NODATA_SENTINEL
+    # the pre-rolled bucket loses at most a dither-wide band at two edges
+    # (the rolled canvas cannot represent it; documented trade) — all its
+    # coverage is inside the exact path's
+    assert not np.any(covB & ~covA)
+    lost = covA & ~covB
+    yy_l, xx_l = np.nonzero(lost)
+    if lost.any():
+        edge_band = ((xx_l <= abs(du0) + 3) | (xx_l >= Wd - abs(du0) - 4)
+                     | (yy_l <= abs(dv0) + 3) | (yy_l >= H - abs(dv0) - 4))
+        assert edge_band.all(), 'coverage lost away from the dither band'
+    both = covA & covB
+    assert both.sum() > 0.75 * H * Wd
+    # identical warps -> the chains differ only through the band's
+    # exclusion from the background/ref-rms robust estimators, which can
+    # flip a stamp in the fit's sigma-clip (butterfly on the % level at
+    # star cores with only 8 stamps). Pixel agreement is therefore
+    # statistical: the bulk of the frame must agree to well below the
+    # noise (sigma=5); a data-corruption bug (wrapped-strip taps) would
+    # break the bit-equality assert above and shift the bulk here.
+    dd = np.abs(dA[both] - dB[both])
+    assert np.median(dd) < 2.0, np.median(dd)
+    assert np.percentile(dd, 95) < 20.0, np.percentile(dd, 95)
+    # mask parity on the common coverage
+    mA = np.asarray(outA['submask'][0])
+    mB = np.asarray(outB['submask'][0])
+    np.testing.assert_array_equal(mA[both], mB[both])

@@ -51,8 +51,14 @@ class PipelineConfig:
     nsigma: float = DETECT_NSIGMA
     box: int = BKG_BOX_SIZE
     # max |src - dst| displacement (px) handled by the shift-accumulate
-    # warp; callers bound it from the mapping grid (MappingGrid.max_offset)
-    max_shift: int = 4
+    # warp AFTER prepare_frame_inputs' host integer pre-roll — i.e. the
+    # RESIDUAL (distortion + subpixel) budget, not the dither. The warp
+    # pays (2*max_shift+7)^2 taps, the dominant pre-detect cost, so the
+    # production bucket is 2 (121 taps); prepare_frame_inputs raises when
+    # a mapping's residual exceeds the bucket (night driver falls back to
+    # the per-pair path, which re-plans per frame). Raw-grid callers that
+    # skip prepare must bound this themselves (MappingGrid residual).
+    max_shift: int = 2
     # full background/rms mesh on the warped reference; off by default
     # (references are deep uniform-noise coadds; a global bisect-median
     # sigma is accurate and saves a mesh pass)
@@ -91,7 +97,10 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
       sci (B,H,W) f32, sci_mask (B,H,W) i32, ref (B,H,W) f32,
       ref_mask (B,H,W) i32, grid_u/grid_v (B,GH,GW) f32 (ref->sci coarse
       mapping), stamp_x/stamp_y (B,S) f32, stamp_valid (B,S) bool,
-      basis_gx/basis_gy (B,Nb,K), basis_sums (B,Nb), b0 (B,K,K).
+      basis_gx/basis_gy (B,Nb,K), basis_sums (B,Nb), b0 (B,K,K),
+      cov_bounds (B,4) f32 (original-source coverage bounds
+      [ulo, uhi, vlo, vhi] — prepare_frame_inputs shifts them when it
+      host-rolls the reference into the small warp-window bucket).
 
     With ``mesh``, the program is shard_mapped over ``batch_axis``: each
     device sequentially processes its B/n_data local frames (the pipeline
@@ -105,7 +114,7 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
     H, W = cfg.height, cfg.width
 
     def one_frame(sci, sci_mask, ref, ref_mask, gu, gv, sx, sy, sv,
-                  bgx, bgy, bsums, b0):
+                  bgx, bgy, bsums, b0, covb):
         u, v = upsample_mapping(gu, gv, (H, W), cfg.map_step)
         # pixel warp: exact Lanczos-3 shift-accumulate. mask warp: the
         # separable significant-weight OR — the SAME function the per-pair
@@ -121,7 +130,17 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
             refw, cov = warp_shift_image(ref, u, v, window=cfg.max_shift)
             refm = warp_shift_mask(ref_mask.astype(jnp.uint32), u, v,
                                    window=cfg.max_shift)
-            refm = jnp.where(cov > 0, refm, jnp.uint32(0))
+        # ORIGINAL-frame coverage gate (warp_planned semantics,
+        # ops/resample.py:581-583): when prepare_frame_inputs host-rolled
+        # the reference to fit the small warp window, covb carries the
+        # source-frame bounds SHIFTED by the removed integer offset, so
+        # wrapped canvas strips never count as covered. Unrolled frames
+        # pass the plain [S-1, Ws-S] bounds — same program either way.
+        covo = ((u >= covb[0]) & (u <= covb[1])
+                & (v >= covb[2]) & (v <= covb[3]))
+        cov = cov * covo.astype(jnp.float32)
+        refw = refw * cov
+        refm = jnp.where(cov > 0, refm, jnp.uint32(0))
         submask = sci_mask.astype(jnp.uint32) | refm
         submask = submask | jnp.where(cov == 0,
                                       jnp.uint32(1 << MASK_BIT_NODATA_ALIGN),
@@ -305,16 +324,68 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None):
     exists; otherwise from the device local-maxima selector (hotpants'
     own substamp search needs no catalog either) — so the batched night
     driver never pays a full detection pass on the science frame.
+
+    Warp-window bucket: the jitted program's tap count is (2*max_shift+7)^2
+    — the dominant pre-detect cost at window 4 (225 taps). Dithers are
+    nearly-constant integer offsets, so when the mapping's residual after
+    removing the median integer offset fits ``cfg.max_shift``, the
+    reference is HOST-rolled (plan_warp semantics, the same decomposition
+    the per-pair align path runs on device) and the grid/coverage bounds
+    are shifted to match; a residual that exceeds the bucket raises
+    ValueError, which the night driver routes to the per-pair fallback.
     """
     import jax.numpy as jnp
     from ..wcs import pixel_mapping
     from ..subtraction import _select_stamps
     from ..ops.subtract import KernelBasis
     from ..ops.measure import select_stamps_device, seeing_from_stamps
+    from ..ops.resample import SUPPORT
 
     smax = smax or cfg.smax
     grid = pixel_mapping(ref.wcs, sci.wcs, (cfg.height, cfg.width),
                          step=cfg.map_step)
+
+    refdata = np.ascontiguousarray(ref.data).astype('f4')
+    refmask = (np.ascontiguousarray(ref.mask_image.data).astype('i4')
+               if ref.mask_image is not None
+               else np.zeros(refdata.shape, 'i4'))
+    Hs, Ws = refdata.shape
+    grid_u, grid_v = np.asarray(grid.u, 'f4'), np.asarray(grid.v, 'f4')
+    cov_bounds = np.asarray([SUPPORT - 1, Ws - SUPPORT,
+                             SUPPORT - 1, Hs - SUPPORT], 'f4')
+    gx = np.arange(grid_u.shape[1], dtype='f4') * cfg.map_step
+    gy = np.arange(grid_v.shape[0], dtype='f4') * cfg.map_step
+    du = grid_u - gx[None, :]
+    dv = grid_v - gy[:, None]
+    resid = max(np.abs(du).max(), np.abs(dv).max())
+    if resid > cfg.max_shift or refdata.shape != (cfg.height, cfg.width):
+        du0 = int(round(float(np.median(du))))
+        dv0 = int(round(float(np.median(dv))))
+        resid2 = max(np.abs(du - du0).max(), np.abs(dv - dv0).max())
+        if resid2 > cfg.max_shift:
+            raise ValueError(
+                f'mapping residual {resid2:.2f} exceeds the '
+                f'max_shift={cfg.max_shift} bucket; per-pair fallback')
+        # embed + integer-roll on the host. The device program gates by
+        # the ORIGINAL source bounds (cov_bounds below), which provably
+        # excludes every dest pixel whose Lanczos taps could touch the
+        # wrapped strips (effective taps span u±3 original cols, and the
+        # original bound keeps those inside the true data); the price is
+        # a |du0|/|dv0|-wide coverage band at two frame edges that the
+        # rolled canvas cannot represent — masked NODATA_ALIGN, not
+        # corrupted (the per-pair gather path keeps that band; SWarp
+        # semantics lose nothing there either: documented trade in
+        # docs/ARCHITECTURE.md).
+        canvas = np.zeros((cfg.height, cfg.width), 'f4')
+        mcanvas = np.zeros((cfg.height, cfg.width), 'i4')
+        h, w = min(Hs, cfg.height), min(Ws, cfg.width)
+        canvas[:h, :w] = refdata[:h, :w]
+        mcanvas[:h, :w] = refmask[:h, :w]
+        refdata = np.roll(canvas, (-dv0, -du0), axis=(0, 1))
+        refmask = np.roll(mcanvas, (-dv0, -du0), axis=(0, 1))
+        grid_u = grid_u - np.float32(du0)
+        grid_v = grid_v - np.float32(dv0)
+        cov_bounds = cov_bounds - np.asarray([du0, du0, dv0, dv0], 'f4')
     scidata = None
     if getattr(sci, '_catalog', None) is not None:
         xs, ys, valid = _select_stamps(sci, smax=smax)
@@ -344,12 +415,11 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None):
         'sci_mask': (np.ascontiguousarray(sci.mask_image.data).astype('i4')
                      if sci.mask_image is not None
                      else np.zeros((cfg.height, cfg.width), 'i4')),
-        'ref': np.ascontiguousarray(ref.data).astype('f4'),
-        'ref_mask': (np.ascontiguousarray(ref.mask_image.data).astype('i4')
-                     if ref.mask_image is not None
-                     else np.zeros(ref.data.shape, 'i4')),
-        'grid_u': grid.u, 'grid_v': grid.v,
+        'ref': refdata,
+        'ref_mask': refmask,
+        'grid_u': grid_u, 'grid_v': grid_v,
         'stamp_x': xs, 'stamp_y': ys, 'stamp_valid': valid,
         'basis_gx': np.asarray(basis.gx), 'basis_gy': np.asarray(basis.gy),
         'basis_sums': np.asarray(basis.sums), 'b0': basis.b0_2d,
+        'cov_bounds': cov_bounds,
     }
