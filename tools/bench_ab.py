@@ -41,9 +41,13 @@ def main():
         out = pipe(*argsj)
         jax.block_until_ready(out)
         comp = time.time() - t0
+        # variant-unique perturbations: the axon request cache can serve
+        # previously-seen calls when inputs repeat across variants
+        # (tools/bench_nonzero.py r3 postmortem)
+        voff = (abs(hash(spec)) % 997 + 1) * 1e-4
         t0 = time.time()
         for i in range(iters):
-            out = pipe(argsj[0] + (i + 1) * 1e-3, *argsj[1:])
+            out = pipe(argsj[0] + (voff + (i + 1) * 1e-3), *argsj[1:])
         jax.block_until_ready(out)
         per = (time.time() - t0) / iters
         nd = (int(np.asarray(out['det_n']).sum())

@@ -40,7 +40,25 @@ import jax.numpy as jnp
 from ..constants import (DETECT_NSIGMA, DETECT_NPIX, MAX_DETECTIONS)
 from .convolve import conv2_same, DEFAULT_FILTER
 
-__all__ = ['label_components', 'detect_sources', 'DETECTION_FIELDS']
+__all__ = ['label_components', 'detect_sources', 'DETECTION_FIELDS',
+           'compact_indices']
+
+
+def compact_indices(mask, size, fill_value):
+    """Indices of the first ``size`` True elements of flat bool ``mask``
+    (ascending flat order), padded with ``fill_value`` — the semantics of
+    ``jnp.nonzero(mask, size=size, fill_value=...)[0]`` WITHOUT its
+    lowering: jax 0.9.0 implements nonzero as cumsum(bincount(cumsum)),
+    and bincount is a full-domain scatter-ADD that measures ~120-400 ms
+    at 9.4M elements on v5e (tools/bench_nonzero.py r3). The rank-scatter
+    SET below (one cumsum + one dropped-OOB scatter of unique ranks) is
+    <1 ms at the same shape. Entries past ``size`` are dropped — the
+    raggedest-tail overflow rule callers already count."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1       # rank among Trues
+    tgt = jnp.where(mask, pos, size)                   # OOB -> dropped
+    return jnp.full(size, fill_value, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode='drop')
 
 INT_MAX = np.iinfo(np.int32).max
 
@@ -315,7 +333,7 @@ def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
     ccap = min(cap, 8192)
     is_peak = pok & (cellpos == posidx)
     ncell = jnp.sum(is_peak.astype(jnp.int32))
-    cpos = jnp.nonzero(is_peak, size=ccap, fill_value=cap - 1)[0]
+    cpos = compact_indices(is_peak, ccap, cap - 1)
     cok = jnp.arange(ccap) < jnp.minimum(ncell, ccap)
     invcell = jnp.zeros(cap, jnp.int32).at[cpos].set(
         jnp.arange(ccap, dtype=jnp.int32))
@@ -429,7 +447,7 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     cap = det_cap if det_cap else min(H * W, max(1 << 14, 32 * max_det))
     det_flat = det.ravel()
     ndet_pix = jnp.sum(det_flat.astype(jnp.int32))
-    pidx = jnp.nonzero(det_flat, size=cap, fill_value=H * W - 1)[0]
+    pidx = compact_indices(det_flat, cap, H * W - 1)
     pok = jnp.arange(cap) < jnp.minimum(ndet_pix, cap)
     # inverse map flat index -> compact position: ONE 65k scatter replaces
     # every searchsorted (a vectorized binary search costs 17 chained 65k
@@ -554,7 +572,7 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         multi = pok & (ncell_comp[comppos] >= 2)
         cap2 = min(cap, max(1 << 13, cap // 4))
         nmulti = jnp.sum(multi.astype(jnp.int32))
-        idx2 = jnp.nonzero(multi, size=cap2, fill_value=cap - 1)[0]
+        idx2 = compact_indices(multi, cap2, cap - 1)
         pok2 = jnp.arange(cap2) < jnp.minimum(nmulti, cap2)
         inv2 = jnp.zeros(cap, jnp.int32).at[idx2].set(
             jnp.arange(cap2, dtype=jnp.int32))

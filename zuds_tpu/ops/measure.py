@@ -66,7 +66,8 @@ def select_stamps_device(img, smax=384, nreg=3, sat_level=5e3, margin=32):
 
     cap = 4096
     nc = jnp.sum(cand.ravel().astype(jnp.int32))
-    cidx = jnp.nonzero(cand.ravel(), size=cap, fill_value=0)[0]
+    from .detect import compact_indices
+    cidx = compact_indices(cand.ravel(), cap, 0)
     cok = jnp.arange(cap) < jnp.minimum(nc, cap)
     cx = (cidx % W).astype(jnp.int32)
     cy = (cidx // W).astype(jnp.int32)
