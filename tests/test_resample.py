@@ -155,28 +155,6 @@ def test_shift_warp_matches_gather(rng):
     np.testing.assert_array_equal(np.array(m1)[cov], np.array(m2)[cov])
 
 
-def test_warp_pallas_matches_xla(rng):
-    """Pallas tiled-in-VMEM warp == XLA shift-accumulate warp (interpret
-    mode; image+coverage — production masks ride warp_shift_mask)."""
-    import jax.numpy as jnp
-    from zuds_tpu.ops.resample import warp_shift_image
-    from zuds_tpu.ops.warp_pallas import warp_tiled_pallas
-
-    H, W = 48, 200
-    img = rng.normal(100, 10, (H, W)).astype('f4')
-    yy, xx = np.mgrid[0:H, 0:W].astype('f4')
-    u = xx + 1.7 + 0.3 * np.sin(yy / 7.0)
-    v = yy - 2.2 + 0.2 * np.cos(xx / 11.0)
-
-    ref = warp_shift_image(jnp.asarray(img), jnp.asarray(u),
-                           jnp.asarray(v), window=4)
-    out = warp_tiled_pallas(jnp.asarray(img), jnp.asarray(u),
-                            jnp.asarray(v), window=4, interpret=True)
-    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
-                               atol=1e-4)
-    assert (np.asarray(out[1]) == np.asarray(ref[1])).all()
-
-
 def test_box_mask_or():
     """Separable log-doubling dilation == brute-force window OR, and is a
     superset of the exact per-tap significant-weight mask warp."""

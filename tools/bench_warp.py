@@ -60,23 +60,6 @@ def main():
              ).astype(jnp.float32)) + jnp.sum(x) * 1e-20,
         'img_w2': lambda x: jnp.sum(warp_shift_image(x, u, v, window=2)[0]),
     }
-    try:
-        from zuds_tpu.ops.warp_pallas import warp_shift_image_mask_pallas
-        fns['pallas'] = lambda x: jnp.sum(
-            warp_shift_image_mask_pallas(x, mask, u, v, window=4)[0])
-    except Exception:
-        pass
-    try:
-        from zuds_tpu.ops.warp_pallas import warp_tiled_pallas
-        fns['pallas_tiled'] = lambda x: jnp.sum(
-            warp_tiled_pallas(x, u, v, window=4)[0])
-    except Exception:
-        pass
-    try:
-        from zuds_tpu.ops.warp_pallas import warp_tiled_pallas as _wt
-        fns['pallas_w0'] = lambda x: jnp.sum(_wt(x, u, v, window=0)[0])
-    except Exception:
-        pass
     from zuds_tpu.ops.resample import warp_shift_mask
     fns['mask_sep'] = lambda x: jnp.sum(
         (warp_shift_mask(mask | x.astype(jnp.int32) % 2, u, v, window=4)
