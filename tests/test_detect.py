@@ -280,3 +280,23 @@ def test_deblend_overflow_counter(rng):
     xs = np.asarray(out['x'])[np.asarray(out['valid'])]
     ys = np.asarray(out['y'])[np.asarray(out['valid'])]
     assert (xs > 1).all() and (ys > 1).all()
+
+
+def test_prefix_count_matches_cumsum():
+    """MXU-blocked prefix sum == jnp.cumsum across the recursion levels,
+    padding remainders, and the small-n fallback (detect.py compaction)."""
+    from zuds_tpu.ops.detect import prefix_count, compact_indices
+    rng2 = np.random.default_rng(11)
+    for n in (7, 2048, 2049, 128 * 128, 128 * 128 * 3 + 17, 1_000_001):
+        m = rng2.random(n) < 0.01
+        got = np.asarray(prefix_count(jnp.asarray(m)))
+        want = np.cumsum(m.astype(np.int32))
+        np.testing.assert_array_equal(got, want, err_msg=f'n={n}')
+    # compact_indices parity with jnp.nonzero semantics incl. overflow drop
+    m = rng2.random(40000) < 0.002
+    size = 48
+    got = np.asarray(compact_indices(jnp.asarray(m), size, -1))
+    idx = np.nonzero(m)[0][:size]
+    want = np.full(size, -1, np.int32)
+    want[:len(idx)] = idx
+    np.testing.assert_array_equal(got, want)

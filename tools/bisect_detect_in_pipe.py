@@ -31,9 +31,13 @@ def main():
     args0 = _synth_inputs(1, H, W, PipelineConfig(**base), seed=0)
     argsj = [jnp.asarray(a) for a in args0]
 
-    stages = [('noise', None), (None, 'filt'), (None, 'compact'),
-              (None, 'ccl'), (None, 'cell'), (None, 'deblend'),
-              (None, 'stats'), ('detect', None)]
+    all_stages = [('noise', None), (None, 'filt'), (None, 'compact'),
+                  (None, 'ccl'), (None, 'cell'), (None, 'deb_pre'),
+                  (None, 'deb_lab'), (None, 'deb_seg'), (None, 'deblend'),
+                  (None, 'stats'), ('detect', None)]
+    names = sys.argv[2:]
+    stages = ([s for s in all_stages if (s[0] or f'det:{s[1]}') in names]
+              if names else all_stages)
     prev = 0.0
     for outer, det in stages:
         cfg = PipelineConfig(**base, dbg_stop_after=outer,

@@ -134,26 +134,47 @@ def background_mesh(img, valid=None, box=128, filter_size=3, iters=3):
     vcells = vcells & jnp.isfinite(cells)
     cells = jnp.where(vcells, cells, 0.0)
 
-    def stats(keep):
-        n = jnp.maximum(jnp.sum(keep, axis=-1), 1)
-        s = jnp.sum(jnp.where(keep, cells, 0.0), axis=-1)
-        s2 = jnp.sum(jnp.where(keep, cells * cells, 0.0), axis=-1)
-        mean = s / n
-        var = jnp.maximum(s2 / n - mean * mean, 0.0)
-        return mean, jnp.sqrt(var), n
+    def stats_of(data):
+        def stats(keep):
+            n = jnp.maximum(jnp.sum(keep, axis=-1), 1)
+            s = jnp.sum(jnp.where(keep, data, 0.0), axis=-1)
+            s2 = jnp.sum(jnp.where(keep, data * data, 0.0), axis=-1)
+            mean = s / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            return mean, jnp.sqrt(var), n
+        return stats
 
-    mean0, sigma0, _ = stats(vcells)
+    stats = stats_of(cells)
+
+    # The sigma-clip ITERATIONS run on a ::4 subsample of each cell: every
+    # bisect-median iteration and clip pass is a full-frame reduction
+    # (~0.4 ms), and 3 clip rounds x (12 median bisections + 3 moment
+    # passes) cost ~45 passes/frame on v5e — the subsample cuts that 4x
+    # while a 128^2 cell still keeps 4096 samples (median sampling error
+    # ~sigma/sqrt(N) ~ 0.02 sigma, far inside SExtractor's own cell
+    # noise). The FINAL clipped mean/sigma are measured at full
+    # resolution with the converged bounds.
+    sstep = 4 if box * box >= 4096 else 1
+    sub = cells[..., ::sstep]
+    vsub = vcells[..., ::sstep]
+    stats_s = stats_of(sub)
+
+    mean0, sigma0, _ = stats_s(vsub)
 
     def clip_step(_, keep):
-        med = bisect_median(cells, keep)
-        _, sigma, _ = stats(keep)
+        med = bisect_median(sub, keep)
+        _, sigma, _ = stats_s(keep)
         lo = med[..., None] - 3.0 * sigma[..., None]
         hi = med[..., None] + 3.0 * sigma[..., None]
-        return vcells & (cells >= lo) & (cells <= hi)
+        return vsub & (sub >= lo) & (sub <= hi)
 
-    keep = jax.lax.fori_loop(0, iters, clip_step, vcells)
+    keeps = jax.lax.fori_loop(0, iters, clip_step, vsub)
+    med = bisect_median(sub, keeps)
+    _, sigma_s, _ = stats_s(keeps)
+    lo = med[..., None] - 3.0 * sigma_s[..., None]
+    hi = med[..., None] + 3.0 * sigma_s[..., None]
+    keep = vcells & (cells >= lo) & (cells <= hi)
     mean, sigma, n = stats(keep)
-    med = bisect_median(cells, keep)
 
     # SExtractor crowded-field rule: if clipping changed sigma by <20%,
     # the clipped mean is the background; otherwise use the mode estimator.

@@ -44,6 +44,32 @@ __all__ = ['label_components', 'detect_sources', 'DETECTION_FIELDS',
            'compact_indices']
 
 
+def _prefix_sum_f32(x, blk=128):
+    """Inclusive prefix sum of a flat f32 vector of non-negative integers
+    via blocked TRIANGULAR MATMULS on the MXU. XLA lowers ``jnp.cumsum``
+    to ~log2(n) full-array passes (a 9.4M cumsum measured ~45 ms inside
+    the detect compaction on v5e, tools/bisect_detect_in_pipe.py r3); the
+    blocked form reads/writes the array ~3x and pushes the scan work
+    through (n/128, 128) @ (128, 128) HIGHEST-precision matmuls, which
+    the MXU runs at roofline. Exact while the total stays < 2^24."""
+    n = x.shape[0]
+    if n <= 2048:
+        return jnp.cumsum(x)
+    nb = -(-n // blk)
+    xf = jnp.pad(x, (0, nb * blk - n)).reshape(nb, blk)
+    # tri[j, i] = 1 for j <= i: out[r, i] = sum_{j<=i} x[r, j]
+    tri = jnp.asarray(np.triu(np.ones((blk, blk), np.float32)))
+    intra = jnp.dot(xf, tri, precision=jax.lax.Precision.HIGHEST)
+    sums = intra[:, -1]                                # block totals (nb,)
+    excl = _prefix_sum_f32(sums, blk) - sums           # exclusive offsets
+    return (intra + excl[:, None]).reshape(nb * blk)[:n]
+
+
+def prefix_count(mask):
+    """Inclusive prefix count of a flat bool mask (int32), MXU-blocked."""
+    return _prefix_sum_f32(mask.astype(jnp.float32)).astype(jnp.int32)
+
+
 def compact_indices(mask, size, fill_value):
     """Indices of the first ``size`` True elements of flat bool ``mask``
     (ascending flat order), padded with ``fill_value`` — the semantics of
@@ -51,11 +77,11 @@ def compact_indices(mask, size, fill_value):
     lowering: jax 0.9.0 implements nonzero as cumsum(bincount(cumsum)),
     and bincount is a full-domain scatter-ADD that measures ~120-400 ms
     at 9.4M elements on v5e (tools/bench_nonzero.py r3). The rank-scatter
-    SET below (one cumsum + one dropped-OOB scatter of unique ranks) is
-    <1 ms at the same shape. Entries past ``size`` are dropped — the
-    raggedest-tail overflow rule callers already count."""
+    SET below (one MXU-blocked prefix count + one dropped-OOB scatter of
+    unique ranks) is ~2 ms at the same shape. Entries past ``size`` are
+    dropped — the raggedest-tail overflow rule callers already count."""
     n = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1       # rank among Trues
+    pos = prefix_count(mask) - 1                       # rank among Trues
     tgt = jnp.where(mask, pos, size)                   # OOB -> dropped
     return jnp.full(size, fill_value, jnp.int32).at[tgt].set(
         jnp.arange(n, dtype=jnp.int32), mode='drop')
@@ -262,7 +288,8 @@ def _segmented_scan(vals, start, combine):
 
 
 def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
-                   pos_flux_c, thresh_c, nbr_pos, nbr_ok, nlevels, mincont):
+                   pos_flux_c, thresh_c, nbr_pos, nbr_ok, nlevels, mincont,
+                   dbg_stop=None):
     """SExtractor multi-threshold deblending tree on the compact list.
 
     Re-thresholds every base component at ``nlevels`` exponentially spaced
@@ -328,6 +355,8 @@ def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
         for _c in range(3):
             ln = jnp.minimum(ln, jnp.take_along_axis(ln, ln, axis=1))
         labp = ln                                            # (L, cap) pos
+    if dbg_stop == 'deb_lab':
+        return jnp.where(pok, pidx[labp[0]], INT_MAX)
 
     # ---- compact the watershed cells --------------------------------------
     ccap = min(cap, 8192)
@@ -357,6 +386,9 @@ def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
         (lev * cap + bl).ravel(),
         num_segments=L * cap).reshape(L, cap)
     sf_at_cell = jnp.take_along_axis(subflux, bl, axis=1)    # (L, ccap)
+    if dbg_stop == 'deb_seg':
+        return jnp.where(pok, (pidx + sf_at_cell[0][cellid]
+                               .astype(jnp.int32)), INT_MAX)
     F0_cell = F0[comppos][cpos]
     sig = act_cell & (sf_at_cell >= mincont * F0_cell[None])
 
@@ -583,10 +615,17 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                    & pok2[None])
         comppos2 = jnp.where(pok2, inv2[comppos[idx2]], cap2 - 1)
         cellpos2 = jnp.where(pok2, inv2[cellpos[idx2]], cap2 - 1)
+        if dbg_stop_after == 'deb_pre':
+            return {'dbg': (jnp.sum(pidx2) + jnp.sum(comppos2)
+                            + jnp.sum(cellpos2) + jnp.sum(nbr_pos2))}
         objdeep2 = _deblend_exact(pidx2, pok2, comppos2, cellpos2,
                                   filt_c[idx2], pos_c[idx2],
                                   thresh_c[idx2], nbr_pos2, nbr_ok2,
-                                  DEBLEND_NTHRESH, DEBLEND_MINCONT)
+                                  DEBLEND_NTHRESH, DEBLEND_MINCONT,
+                                  dbg_stop=dbg_stop_after if dbg_stop_after
+                                  in ('deb_lab', 'deb_seg') else None)
+        if dbg_stop_after in ('deb_lab', 'deb_seg'):
+            return {'dbg': jnp.sum(objdeep2)}
         # scatter through a cap+1 buffer so padded idx2 entries land in a
         # discard slot instead of clobbering a real pixel's key
         key_full = jnp.zeros(cap + 1, jnp.int32).at[
@@ -594,7 +633,7 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         # capacity fallback: multi pixels beyond cap2 never entered the
         # deblend tree — keep their BASE component (no split) instead of
         # silently mapping them to flat index 0, and count the overflow
-        rank = jnp.cumsum(multi.astype(jnp.int32)) - 1
+        rank = prefix_count(multi) - 1
         in2 = multi & (rank < cap2)
         deblend_overflow = nmulti - jnp.minimum(nmulti, cap2)
         key_c = jnp.where(in2, key_full, lab_c)
@@ -607,7 +646,7 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         return {'dbg': jnp.sum(key_c)}
     # renumber deblended objects in raster order of their root pixels
     is_root_c = pok & (pidx == key_c)
-    robj = jnp.cumsum(is_root_c.astype(jnp.int32))       # 1-based at roots
+    robj = prefix_count(is_root_c)                       # 1-based at roots
     nroots = robj[-1]
     # roots beyond max_det are clamped into the discard row — counted in
     # obj_overflow so a junk shower that shatters into more objects than

@@ -129,10 +129,10 @@ def warp_mask(mask, u, v):
 
     out = jnp.zeros(u.shape, dtype=mask.dtype)
     for dy in range(-SUPPORT + 1, SUPPORT + 1):
-        takey = jnp.abs(lanczos3(fv - dy)) > _MASK_TAU
+        takey = _sig_lanczos(fv - dy)
         rows = iv_c + dy
         for dx in range(-SUPPORT + 1, SUPPORT + 1):
-            take = takey & (jnp.abs(lanczos3(fu - dx)) > _MASK_TAU)
+            take = takey & _sig_lanczos(fu - dx)
             vals = mask[rows, iu_c + dx]
             out = out | jnp.where(take, vals, 0).astype(mask.dtype)
     return jnp.where(inb, out, 0).astype(mask.dtype)
@@ -221,6 +221,24 @@ def _tap_weight(A, B, d, j, a_j, b_j):
 # a tap significant in both axes carries ~the same weight floor
 _MASK_TAU = np.float32(np.sqrt(5e-3))
 
+# |lanczos3(t)| > _MASK_TAU solved on the host once: the significant set is
+# {|t| < A} u {B < |t| < C} (main lobe + first sidelobe pair; the second
+# sidelobe peaks at ~0.064 < tau). Evaluating significance as interval
+# tests costs 3 compares per tap instead of the 2 transcendental frame
+# passes lanczos3 needs — the separable mask warp runs 30 integer taps, so
+# this removes ~60 full-frame sin passes per quadrant.
+_SIG_A = np.float32(0.9226250948801125)
+_SIG_B = np.float32(1.099650902956955)
+_SIG_C = np.float32(1.7405705334521984)
+
+
+def _sig_lanczos(t):
+    """|lanczos3(t)| > _MASK_TAU via host-precomputed interval tests
+    (bit-identical decision to thresholding lanczos3 itself away from the
+    measure-zero interval edges)."""
+    a = jnp.abs(t)
+    return (a < _SIG_A) | ((a > _SIG_B) & (a < _SIG_C))
+
 
 @partial(jax.jit, static_argnames=('window',))
 def warp_shift_mask(mask, u, v, window=4):
@@ -252,12 +270,12 @@ def warp_shift_mask(mask, u, v, window=4):
     hi = window + SUPPORT
     inner = jnp.zeros(mask.shape, dtype=mask.dtype)
     for dx in range(lo, hi + 1):
-        take = jnp.abs(lanczos3(du - dx)) > _MASK_TAU
+        take = _sig_lanczos(du - dx)
         inner = inner | jnp.where(take, jnp.roll(mask, -dx, axis=1),
                                   0).astype(mask.dtype)
     out = jnp.zeros(mask.shape, dtype=mask.dtype)
     for dy in range(lo, hi + 1):
-        take = jnp.abs(lanczos3(dv - dy)) > _MASK_TAU
+        take = _sig_lanczos(dv - dy)
         out = out | jnp.where(take, jnp.roll(inner, -dy, axis=0),
                               0).astype(mask.dtype)
     return jnp.where(inb, out, 0).astype(mask.dtype)
