@@ -30,7 +30,14 @@ def _write_bench_frames(d, npairs, H, W, seed=7):
     from zuds_tpu.wcs import TPVWCS
     from zuds_tpu.fits import Header, HDU, write_fits
 
-    marker = os.path.join(d, f'.done_{npairs}_{H}x{W}_{seed}')
+    # ZTF sampling: 1.01"/px, reference coadd seeing ~2.0" (best-epoch
+    # 1.7-2.5" window, reference scripts/makeref.py:66), science ~2.8" —
+    # in PIXELS here. The r3 scene used FWHM 1.6 px (sigma 0.68 px), far
+    # below ZTF's real sampling; Lanczos-warping that leaves residuals on
+    # every bright star that no real frame would show.
+    see_ref, see_sci = 2.0, 2.8
+    marker = os.path.join(d, f'.done_{npairs}_{H}x{W}_{seed}_'
+                             f'{see_ref}_{see_sci}')
     ref_path = os.path.join(d, 'bench_ref_sciimg.fits')
     paths = [os.path.join(d, f'bench_n{i}_sciimg.fits')
              for i in range(npairs)]
@@ -87,11 +94,11 @@ def _write_bench_frames(d, npairs, H, W, seed=7):
                             scale_deg=scale)
     ra, dec = wcs_sci.pix2sky_0(xs, ys)
     rx, ry = wcs_ref.sky2pix_0(ra, dec)
-    write(ref_path, render(rx, ry, 1.6), wcs_ref, 58300.0, 1.6)
+    write(ref_path, render(rx, ry, see_ref), wcs_ref, 58300.0, see_ref)
     for i, p in enumerate(paths):
         t = (500.0 + 257 * i, 600.0 + 193 * i, 30000.0)
-        write(p, render(xs, ys, 2.3, extra=t), wcs_sci, 58345.0 + 0.01 * i,
-              2.3)
+        write(p, render(xs, ys, see_sci, extra=t), wcs_sci,
+              58345.0 + 0.01 * i, see_sci)
     open(marker, 'w').close()
     return ref_path, paths
 
@@ -113,7 +120,8 @@ def main_files(npairs=6, batch=2):
     d = '/tmp/zuds-bench-files'
     ref_path, paths = _write_bench_frames(d, npairs, H, W)
     cfg = PipelineConfig(height=H, width=W, ksize=15, stamp=41, smax=384,
-                         order=KERNEL_SPATIAL_ORDER, nreg=3, max_det=1024,
+                         order=KERNEL_SPATIAL_ORDER, nreg=3, max_det=4096,
+                         det_cap=1 << 16, deb_cap=1 << 16,
                          interleave=2 if batch % 2 == 0 else 1)
     pipe = make_subtract_detect_pipeline(cfg)
     work = [f'{p} {ref_path}' for p in paths]
@@ -162,7 +170,8 @@ def main():
     # per region).
     from zuds_tpu.constants import KERNEL_SPATIAL_ORDER
     cfg = PipelineConfig(height=H, width=W, ksize=15, stamp=41, smax=384,
-                         order=KERNEL_SPATIAL_ORDER, nreg=3, max_det=1024,
+                         order=KERNEL_SPATIAL_ORDER, nreg=3, max_det=4096,
+                         det_cap=1 << 16, deb_cap=1 << 16,
                          interleave=2 if B % 2 == 0 else 1)
 
     pipe = make_subtract_detect_pipeline(cfg)

