@@ -151,6 +151,98 @@ def main_files(npairs=6, batch=2):
           f'warmup={compile_s:.1f}s', file=sys.stderr)
 
 
+def main_coadd(nepochs=8):
+    """Epoch-stack coadd throughput through the PRODUCTION path
+    (Coadd.from_images -> fused make_coadd_pipeline): FITS ingest, one
+    jitted device program per stack (per-epoch background mesh + weight +
+    Lanczos warp + CLIPPED combine), product writes. Two distinct stacks
+    alternate to defeat the axon request cache."""
+    import zuds_tpu as zuds
+
+    H, W = 3080, 3072
+    d = '/tmp/zuds-bench-coadd'
+    rng = np.random.default_rng(21)
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'tests'))
+    from zuds_tpu.wcs import TPVWCS
+    from zuds_tpu.fits import Header, HDU, write_fits
+
+    marker = os.path.join(d, f'.done_{2 * nepochs}_{H}x{W}')
+    paths = [os.path.join(d, f'ep{i}_sciimg.fits')
+             for i in range(2 * nepochs)]
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        scale = 1.01 / 3600.0
+        nstars = 400
+        wcs0 = TPVWCS.simple(crval=(150.1, 35.2),
+                             crpix=(W / 2 + .5, H / 2 + .5), scale_deg=scale)
+        xs = rng.uniform(30, W - 30, nstars)
+        ys = rng.uniform(30, H - 30, nstars)
+        fl = rng.uniform(8000, 60000, nstars)
+        ra, dec = wcs0.pix2sky_0(xs, ys)
+        k = 10
+        yy, xx = np.mgrid[-k:k + 1, -k:k + 1]
+        for i, p in enumerate(paths):
+            wcs_e = TPVWCS.simple(
+                crval=(150.1, 35.2),
+                crpix=(W / 2 + .5 + rng.uniform(-1.5, 1.5),
+                       H / 2 + .5 + rng.uniform(-1.5, 1.5)),
+                scale_deg=scale)
+            ex, ey = wcs_e.sky2pix_0(ra, dec)
+            img = np.full((H, W), 150.0, 'f4')
+            sig = 2.0 / 2.355
+            for x, y, f in zip(ex, ey, fl):
+                xi, yi = int(round(x)), int(round(y))
+                if not (k < xi < W - k - 1 and k < yi < H - k - 1):
+                    continue
+                psf = np.exp(-((xx + xi - x) ** 2 + (yy + yi - y) ** 2)
+                             / (2 * sig * sig)) / (2 * np.pi * sig * sig)
+                img[yi - k:yi + k + 1, xi - k:xi + k + 1] += \
+                    (f * psf).astype('f4')
+            img += rng.normal(0, 5.0, (H, W)).astype('f4')
+            h = Header()
+            wcs_e.to_header(h)
+            for kk, v in [('MAGZP', 26.3), ('OBSMJD', 58300.0 + i),
+                          ('FIELDID', 679), ('CCDID', 1), ('QID', 2),
+                          ('FILTERID', 2), ('SATURATE', 60000.0),
+                          ('SEEING', 2.0)]:
+                h.set(kk, v)
+            h.set('FILENAME', os.path.basename(p))
+            write_fits(p, [HDU(h, img)])
+            write_fits(p.replace('sciimg', 'mskimg'),
+                       [HDU(h.copy(), np.zeros(img.shape, np.uint16))])
+        open(marker, 'w').close()
+
+    stacks = [paths[:nepochs], paths[nepochs:]]
+    imgs = [[zuds.ScienceImage.from_file(p) for p in s] for s in stacks]
+
+    t0 = time.time()
+    zuds.ScienceCoadd.from_images(imgs[0][:nepochs],
+                                  os.path.join(d, 'warm.fits'),
+                                  calculate_seeing=False)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    iters = 2
+    for i in range(iters):
+        zuds.ScienceCoadd.from_images(
+            imgs[i % 2], os.path.join(d, f'out{i}.fits'),
+            calculate_seeing=False)
+    elapsed = time.time() - t0
+    eps = nepochs * iters / elapsed
+    result = {
+        'metric': 'ZTF epochs/sec/chip coadded, FILES->stack through '
+                  'Coadd.from_images (fused mesh+weight+warp+CLIPPED '
+                  'combine, 3080x3072)',
+        'value': round(eps, 3),
+        'unit': 'epochs/sec/chip',
+        'vs_baseline': round(eps / 1.1, 2),
+    }
+    print(json.dumps(result))
+    print(f'# nepochs={nepochs} iters={iters} elapsed={elapsed:.2f}s '
+          f'warmup={compile_s:.1f}s', file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -214,5 +306,8 @@ if __name__ == '__main__':
     if '--files' in sys.argv:
         args = [a for a in sys.argv[1:] if a != '--files']
         main_files(npairs=int(args[0]) if args else 6)
+    elif '--coadd' in sys.argv:
+        args = [a for a in sys.argv[1:] if a != '--coadd']
+        main_coadd(nepochs=int(args[0]) if args else 8)
     else:
         main()

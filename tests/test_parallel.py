@@ -172,9 +172,15 @@ def test_coadd_pipeline(rng):
                          (B, ny, ny)).copy()
     gv = np.broadcast_to((np.arange(ny) * step).astype('f4')[:, None],
                          (B, ny, ny)).copy()
-    pipe = make_coadd_pipeline(CFG, B)
-    out = pipe(jnp.asarray(imgs.astype('f4')), jnp.asarray(weights),
+    from zuds_tpu.ops.resample import SUPPORT
+    covb = np.broadcast_to(np.asarray(
+        [SUPPORT - 1, W - SUPPORT, SUPPORT - 1, H - SUPPORT], 'f4'),
+        (B, 4)).copy()
+    pipe = make_coadd_pipeline(CFG, B, subtract_back=False)
+    out = pipe(jnp.asarray(imgs.astype('f4')),
+               jnp.full(B, 3e38, dtype=jnp.float32),
                jnp.asarray(masks), jnp.asarray(gu), jnp.asarray(gv),
+               jnp.asarray(covb), jnp.ones(B, dtype=jnp.float32),
                jnp.ones(B, dtype=jnp.float32))
     coadd = np.array(out['coadd'])
     inner = np.s_[16:-16, 16:-16]

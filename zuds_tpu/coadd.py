@@ -52,11 +52,64 @@ def coadd_grid(images):
     return wcs, (h, w)
 
 
+_COADD_PIPES = {}  # (Nb, Hb, Wb, subtract_back) -> jitted program
+
+
+def _coadd_fused(images, wcs, H, W, subtract_back=True):
+    """Run the whole stack through ONE jitted device program
+    (``make_coadd_pipeline``): per-epoch background mesh + weight + warp,
+    CLIPPED combine, AND mask combine. Shapes are bucketed (output canvas
+    rounded up to 128, epoch count to the next power of two) so ref
+    builds across a night share compiles. Raises ValueError when an
+    epoch's mapping residual exceeds the warp bucket (caller falls back
+    to the per-epoch loop). Returns (coadd, weight, mask) numpy arrays
+    cropped to (H, W)."""
+    import jax.numpy as jnp
+    from .parallel.pipeline import (PipelineConfig, make_coadd_pipeline,
+                                    prepare_epoch_inputs)
+
+    Hb = -(-H // 128) * 128
+    Wb = -(-W // 128) * 128
+    cfg = PipelineConfig(height=Hb, width=Wb)
+    eps = [prepare_epoch_inputs(im, wcs, cfg) for im in images]
+    N = len(eps)
+    Nb = max(2, 1 << (N - 1).bit_length())
+    key = (Nb, Hb, Wb, subtract_back)
+    pipe = _COADD_PIPES.get(key)
+    if pipe is None:
+        pipe = make_coadd_pipeline(cfg, Nb, subtract_back=subtract_back)
+        _COADD_PIPES[key] = pipe
+
+    def stack(k, pad):
+        a = np.stack([e[k] for e in eps])
+        if Nb > N:
+            a = np.concatenate(
+                [a, np.repeat(a[-1:], Nb - N, axis=0) * 0 + pad], axis=0)
+        return jnp.asarray(a)
+
+    valid = np.zeros(Nb, 'f4')
+    valid[:N] = 1.0
+    out = pipe(stack('img', 0.0), stack('sat', 3e38), stack('mask', 0),
+               stack('grid_u', 0.0), stack('grid_v', 0.0),
+               stack('cov_bounds', 0.0), stack('scale', 1.0),
+               jnp.asarray(valid))
+    return (np.asarray(out['coadd'])[:H, :W],
+            np.asarray(out['weight'])[:H, :W],
+            np.asarray(out['mask'])[:H, :W].astype(np.int64))
+
+
 def _coadd_from_images(cls, images, outfile_name, nthreads=1, addbkg=True,
                        calculate_seeing=True, tmpdir='/tmp', copy_inputs=False,
                        swarp_kws=None, scamp_kws=None, sci_swarp_kws=None,
-                       mask_swarp_kws=None, solve_astrometry=False):
-    """Build a coadd of ``images`` (reference: zuds/coadd.py:25-236)."""
+                       mask_swarp_kws=None, solve_astrometry=False,
+                       fused=True):
+    """Build a coadd of ``images`` (reference: zuds/coadd.py:25-236).
+
+    ``fused=True`` (default) routes the whole stack through one jitted
+    device program; epochs whose mappings don't fit the warp bucket (or
+    ``addbkg=False`` stacks of subtraction products, whose weights come
+    from the propagated rms rather than a background mesh) fall back to
+    the per-epoch host loop."""
     import jax.numpy as jnp
     from .ops.resample import (upsample_mapping, warp_image, warp_mask,
                                plan_warp, warp_planned)
@@ -74,57 +127,26 @@ def _coadd_from_images(cls, images, outfile_name, nthreads=1, addbkg=True,
 
     wcs, (H, W) = coadd_grid(images)
 
-    warped, weights, masks, covs, scales, mjds = [], [], [], [], [], []
+    mjds = []
     for im in images:
-        grid = pixel_mapping(im.wcs, wcs, (H, W))
-        u, v = upsample_mapping(jnp.asarray(grid.u), jnp.asarray(grid.v),
-                                grid.shape, grid.step)
-        # Science coadds combine per-epoch background-subtracted pixels
-        # (swarp SUBTRACT_BACK Y, reference makecoadd/default.swarp:77);
-        # epoch-to-epoch sky offsets would otherwise be FLXSCALE-amplified
-        # and bias the CLIPPED combine. The addbkg=False path (multi-epoch
-        # subtraction stacking) feeds already-background-free frames.
-        src = im.background_subtracted_image if addbkg else im
-        data = jnp.asarray(
-            np.ascontiguousarray(src.data).astype(np.float32))
-        wdat = jnp.asarray(
-            np.ascontiguousarray(im.weight_image.data).astype(np.float32))
-        if im.mask_image is not None:
-            m = jnp.asarray(np.ascontiguousarray(im.mask_image.data)
-                            .astype(np.uint32))
-        else:
-            m = jnp.zeros(data.shape, dtype=jnp.uint32)
-        # host-planned fast warp (integer pre-shift + small residual
-        # window); gather fallback for exotic mappings
-        plan = plan_warp(grid, (H, W), tuple(data.shape))
-        if plan is not None:
-            img_w, m_w, cov = warp_planned(data, m, u, v, plan, (H, W))
-            wgt_w, _, _ = warp_planned(wdat, jnp.zeros_like(m), u, v,
-                                       plan, (H, W))
-        else:
-            img_w, cov = warp_image(data, u, v)
-            wgt_w, _ = warp_image(wdat, u, v)
-            m_w = warp_mask(m, u, v)
-        wgt_w = jnp.maximum(wgt_w, 0.0) * cov
-        masks.append(m_w.astype(jnp.uint16))
-        warped.append(img_w)
-        weights.append(wgt_w)
-        covs.append(cov)
-        zp = im.header.get('MAGZP')
-        scales.append(float(fluxscale(zp)) if zp is not None else 1.0)
         try:
             mjds.append(mjd_from_header(im.header))
         except KeyError:
             pass
 
-    stack = jnp.stack(warped)
-    wstack = jnp.stack(weights)
-    out = clipped_coadd(stack, wstack, jnp.asarray(scales, jnp.float32))
-    mask_out = combine_masks(jnp.stack(masks), jnp.stack(covs), mode='and')
+    coadd_data = None
+    if fused and addbkg:
+        try:
+            coadd_data, coadd_weight, mask_data = _coadd_fused(
+                images, wcs, H, W, subtract_back=True)
+        except ValueError as e:
+            print(f'coadd: fused path unavailable ({e}); '
+                  f'per-epoch fallback', flush=True)
 
-    coadd_data = np.array(out['coadd'])
-    coadd_weight = np.array(out['weight'])
-    mask_data = np.array(mask_out).astype(np.int64)
+    if coadd_data is None:
+        coadd_data, coadd_weight, mask_data = _coadd_loop(
+            images, wcs, H, W, addbkg)
+
     # no-data bit where no epoch contributed (reference: bit 16 via
     # update_from_weight_map, zuds/coadd.py:182-184)
     mask_data[coadd_weight == 0] |= (1 << MASK_BIT_NODATA_ALIGN)
@@ -187,6 +209,63 @@ def _coadd_from_images(cls, images, outfile_name, nthreads=1, addbkg=True,
         sess.commit()
 
     return coadd
+
+
+def _coadd_loop(images, wcs, H, W, addbkg):
+    """Per-epoch host-driven warp + combine (the pre-fusion path; kept
+    for exotic mappings and addbkg=False subtraction stacks)."""
+    import jax.numpy as jnp
+    from .ops.resample import (upsample_mapping, warp_image, warp_mask,
+                               plan_warp, warp_planned)
+    from .ops.coadd import clipped_coadd, combine_masks, fluxscale
+    from .wcs import pixel_mapping
+
+    warped, weights, masks, covs, scales = [], [], [], [], []
+    for im in images:
+        grid = pixel_mapping(im.wcs, wcs, (H, W))
+        u, v = upsample_mapping(jnp.asarray(grid.u), jnp.asarray(grid.v),
+                                grid.shape, grid.step)
+        # Science coadds combine per-epoch background-subtracted pixels
+        # (swarp SUBTRACT_BACK Y, reference makecoadd/default.swarp:77);
+        # epoch-to-epoch sky offsets would otherwise be FLXSCALE-amplified
+        # and bias the CLIPPED combine. The addbkg=False path (multi-epoch
+        # subtraction stacking) feeds already-background-free frames.
+        src = im.background_subtracted_image if addbkg else im
+        data = jnp.asarray(
+            np.ascontiguousarray(src.data).astype(np.float32))
+        wdat = jnp.asarray(
+            np.ascontiguousarray(im.weight_image.data).astype(np.float32))
+        if im.mask_image is not None:
+            m = jnp.asarray(np.ascontiguousarray(im.mask_image.data)
+                            .astype(np.uint32))
+        else:
+            m = jnp.zeros(data.shape, dtype=jnp.uint32)
+        # host-planned fast warp (integer pre-shift + small residual
+        # window); gather fallback for exotic mappings
+        plan = plan_warp(grid, (H, W), tuple(data.shape))
+        if plan is not None:
+            img_w, m_w, cov = warp_planned(data, m, u, v, plan, (H, W))
+            wgt_w, _, _ = warp_planned(wdat, jnp.zeros_like(m), u, v,
+                                       plan, (H, W))
+        else:
+            img_w, cov = warp_image(data, u, v)
+            wgt_w, _ = warp_image(wdat, u, v)
+            m_w = warp_mask(m, u, v)
+        wgt_w = jnp.maximum(wgt_w, 0.0) * cov
+        masks.append(m_w.astype(jnp.uint16))
+        warped.append(img_w)
+        weights.append(wgt_w)
+        covs.append(cov)
+        zp = im.header.get('MAGZP')
+        scales.append(float(fluxscale(zp)) if zp is not None else 1.0)
+
+    stack = jnp.stack(warped)
+    wstack = jnp.stack(weights)
+    out = clipped_coadd(stack, wstack, jnp.asarray(scales, jnp.float32))
+    mask_out = combine_masks(jnp.stack(masks), jnp.stack(covs), mode='and')
+
+    return (np.array(out['coadd']), np.array(out['weight']),
+            np.array(mask_out).astype(np.int64))
 
 
 class Coadd(CalibratedImage):

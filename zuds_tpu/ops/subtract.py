@@ -257,13 +257,37 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
         wmap = _einsum_hi('snm,sm->sn', a_s, T)                  # (S,Nb)
         return _einsum_hi('sn,snp->sp', wmap, Cf) + bg_s[:, None]
 
+    # order-weighted spatial ridge: ~40 stamp positions sample the Nm
+    # spatial terms, so the high-order polynomial coefficients are barely
+    # constrained and chase per-stamp warp-phase noise — the fitted
+    # surface then explodes past the stamp hull (r4 scene: kernel sum
+    # dropped 35% within 40 px of the last stamp, flooding the region
+    # edge with false detections). Penalize term (p, q) by
+    # RIDGE_GROWTH^(p+q) on the Jacobi-normalized diagonal: constant and
+    # linear variation pass freely, quartic terms need strong evidence.
+    # hotpants counters the same instability with ~100 substamps/region.
+    # default growth 8: fixes the r4 realistic-scene region blowup while
+    # staying <1 mmag against the unregularized float64 oracle
+    # (tests/test_parity.py); ZUDS_FIT_RIDGE_GROWTH=0 restores the flat
+    # ridge
+    import os as _os
+    base_l = float(_os.environ.get('ZUDS_FIT_RIDGE', '1e-7'))
+    growth = float(_os.environ.get('ZUDS_FIT_RIDGE_GROWTH', '8'))
+    t_ord = np.asarray([p + q for p, q in terms], np.float32)
+    lam_col = np.full(D, base_l, np.float32)
+    if growth > 0:
+        lam_nm = (base_l * growth ** t_ord)[None, :].repeat(Nb, 0).ravel()
+        lam_col = np.concatenate([lam_nm, [base_l]]).astype(np.float32)
+    lam_col = jnp.asarray(lam_col)
+
     def solve_factory(G):
         # Jacobi-scaled ridge operator: normalize columns to unit diagonal
         # so the tiny regularizer is scale-free (raw G mixes flux^2-sized
         # kernel entries with O(npix) background entries)
         d = jax.vmap(jnp.diag)(G)                                # (R2, D)
         sc = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-20))
-        Gr = G * sc[:, :, None] * sc[:, None, :] + 1e-7 * jnp.eye(D)[None]
+        Gr = (G * sc[:, :, None] * sc[:, None, :]
+              + jnp.diag(lam_col)[None])
 
         def solve(h):
             return jax.vmap(jnp.linalg.solve)(Gr, h * sc) * sc

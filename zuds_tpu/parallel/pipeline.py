@@ -190,6 +190,16 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
                          b0, stamp=cfg.stamp, order=cfg.order, nreg=cfg.nreg)
         if cfg.dbg_stop_after == 'fit':
             return {'diff': scimbkg + jnp.sum(fit['coeffs'])}
+        if cfg.dbg_stop_after == 'fitdiag':
+            return {'diff': scimbkg, 'stamp_ok': fit['stamp_ok'],
+                    'stamp_chi2': fit['stamp_chi2'],
+                    'coeffs': fit['coeffs']}
+        if cfg.dbg_stop_after == 'ksum':
+            # kernel-sum map: the fitted kernel applied to a constant
+            # frame — exposes spatial-polynomial extrapolation artifacts
+            return {'diff': apply_kernel_fast(
+                jnp.ones_like(refw), fit['coeffs'], bgx, bgy, bsums, b0,
+                order=cfg.order, nreg=cfg.nreg)}
         model = apply_kernel_fast(refw, fit['coeffs'], bgx, bgy, bsums, b0,
                                   order=cfg.order, nreg=cfg.nreg)
         diff = scimbkg - model
@@ -304,6 +314,9 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
             'ap_flux': phot['flux'], 'ap_fluxerr': phot['fluxerr'],
             'ap_flags': phot['flags'],
             'kernel_coeffs': fit['coeffs'],
+            # fit health: stamps surviving the per-region 3-sigma clip
+            # (variable stars / cosmic rays / junk stamps get rejected)
+            'fit_stamps_ok': jnp.sum(fit['stamp_ok'].astype(jnp.int32)),
         }
         # every per-detection field rides along (fixed max_det rows, tiny):
         # the night driver rebuilds full SExtractor-style catalogs from
@@ -354,26 +367,73 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
     return jax.jit(batched)
 
 
-def make_coadd_pipeline(cfg: PipelineConfig, nepochs: int):
-    """Jitted epoch-stack coadd: warp all epochs + CLIPPED combine.
+def make_coadd_pipeline(cfg: PipelineConfig, nepochs: int,
+                        subtract_back=True, compute_weight=True):
+    """Jitted epoch-stack coadd: ONE device program per stack.
 
-    Inputs: imgs/weights (N,Hs,Ws), masks (N,Hs,Ws) i32, grid_u/v (N,GH,GW)
-    mapping each epoch onto the (H,W) output grid, scales (N,).
+    Replaces the reference's per-stack swarp subprocess
+    (``/root/reference/zuds/coadd.py:126-163``, driven by
+    ``scripts/dostack.py`` / ``makeref.py``): per epoch — background mesh
+    (swarp SUBTRACT_BACK Y), inverse-variance weight from rms + mask +
+    saturation, Lanczos-3 shift-accumulate warp of pixels/weight/mask —
+    then CLIPPED weighted-mean combine + AND mask combine + weight map.
+
+    Inputs (all with leading epoch dim N = ``nepochs``; epochs are
+    pre-embedded/rolled into the (H, W) output canvas by
+    ``prepare_epoch_inputs``):
+      imgs (N,H,W) f32, sats (N,) f32 saturation levels,
+      masks (N,H,W) i32, grid_u/v (N,GH,GW) f32 (out->epoch mapping),
+      cov_bounds (N,4) f32, scales (N,) f32 FLXSCALE, valid (N,) f32
+      (0 pads short stacks — padded epochs contribute zero weight).
+
+    With ``compute_weight`` the per-epoch inverse-variance weight is
+    derived in-program from the mesh rms (reference weight formula,
+    zuds/image.py:136-171); the host path that pre-computes weight
+    products can instead pass ``compute_weight=False`` and feed
+    pre-warped weights via the ``imgs``-shaped extra input.
     """
     from ..ops.coadd import clipped_coadd, combine_masks
-    from ..ops.resample import warp_image, warp_mask
+    from ..ops.background import background_mesh
+    from ..constants import SATUR_FRAC
     H, W = cfg.height, cfg.width
 
-    def warp_epoch(img, wgt, mask, gu, gv):
+    def warp_epoch(img, sat, mask, gu, gv, covb, vld):
+        mask = mask.astype(jnp.uint32)
         u, v = upsample_mapping(gu, gv, (H, W), cfg.map_step)
-        iw, cov = warp_image(img, u, v)
-        ww, _ = warp_image(wgt, u, v)
-        mw = warp_mask(mask.astype(jnp.uint32), u, v)
-        return iw, jnp.maximum(ww, 0.0) * cov, mw, cov
+        bad = (mask & jnp.uint32(BAD_SUM)) > 0
+        if subtract_back:
+            bres = background_mesh(img, ~bad, box=cfg.box)
+            imgs_b = img - bres['back']
+            rms = bres['rms']
+        else:
+            imgs_b = img
+            from ..ops.background import bisect_median
+            flat = img[::4, ::4].ravel()[None, :]
+            okf = (~bad)[::4, ::4].ravel()[None, :]
+            med = bisect_median(flat, okf)[0]
+            mad = bisect_median(jnp.abs(flat - med), okf)[0]
+            rms = jnp.full_like(img, 1.4826 * mad)
+        if compute_weight:
+            wgt = jnp.where(bad | (rms <= 0), 0.0,
+                            1.0 / jnp.maximum(rms, 1e-12) ** 2)
+            wgt = jnp.where(img >= SATUR_FRAC * sat, 0.0, wgt)
+        else:
+            wgt = jnp.where(bad, 0.0, 1.0)
+        iw, cov = warp_shift_image(imgs_b, u, v, window=cfg.max_shift)
+        ww, _ = warp_shift_image(wgt, u, v, window=cfg.max_shift)
+        mw = warp_shift_mask(mask, u, v, window=cfg.max_shift)
+        covo = ((u >= covb[0]) & (u <= covb[1])
+                & (v >= covb[2]) & (v <= covb[3]))
+        cov = cov * covo.astype(jnp.float32) * vld
+        covb_ = cov > 0
+        ww = jnp.maximum(ww, 0.0) * cov
+        mw = jnp.where(covb_, mw, jnp.uint32(0))
+        return jnp.where(covb_, iw, 0.0), ww, mw, covb_
 
-    def run(imgs, weights, masks, gus, gvs, scales):
-        iw, ww, mw, cov = jax.vmap(warp_epoch)(imgs, weights, masks,
-                                               gus, gvs)
+    def run(imgs, sats, masks, gus, gvs, covbs, scales, valid):
+        iw, ww, mw, cov = jax.lax.map(
+            lambda a: warp_epoch(*a),
+            (imgs, sats, masks, gus, gvs, covbs, valid))
         out = clipped_coadd(iw, ww, scales)
         mask = combine_masks(mw, cov, mode='and')
         mask = jnp.where(out['weight'] == 0,
@@ -383,6 +443,75 @@ def make_coadd_pipeline(cfg: PipelineConfig, nepochs: int):
                 'mask': mask.astype(jnp.int32), 'nexp': out['nexp']}
 
     return jax.jit(run)
+
+
+def _embed_roll(arrs, grid_u, grid_v, cfg, fill=0.0):
+    """Host integer pre-roll of epoch arrays into the (H, W) pipeline
+    canvas so the device warp's residual fits the ``max_shift`` bucket
+    (plan_warp decomposition — shared by prepare_frame_inputs and
+    prepare_epoch_inputs). Returns (rolled_arrays, grid_u, grid_v,
+    cov_bounds); raises ValueError when the residual exceeds the bucket.
+    """
+    from ..ops.resample import SUPPORT
+
+    Hs, Ws = arrs[0].shape
+    cov_bounds = np.asarray([SUPPORT - 1, Ws - SUPPORT,
+                             SUPPORT - 1, Hs - SUPPORT], 'f4')
+    gx = np.arange(grid_u.shape[1], dtype='f4') * cfg.map_step
+    gy = np.arange(grid_v.shape[0], dtype='f4') * cfg.map_step
+    du = grid_u - gx[None, :]
+    dv = grid_v - gy[:, None]
+    resid = max(np.abs(du).max(), np.abs(dv).max())
+    if resid <= cfg.max_shift and arrs[0].shape == (cfg.height, cfg.width):
+        return list(arrs), grid_u, grid_v, cov_bounds
+    du0 = int(round(float(np.median(du))))
+    dv0 = int(round(float(np.median(dv))))
+    resid2 = max(np.abs(du - du0).max(), np.abs(dv - dv0).max())
+    if resid2 > cfg.max_shift:
+        raise ValueError(
+            f'mapping residual {resid2:.2f} exceeds the '
+            f'max_shift={cfg.max_shift} bucket; per-pair fallback')
+    out = []
+    h, w = min(Hs, cfg.height), min(Ws, cfg.width)
+    for a in arrs:
+        canvas = np.full((cfg.height, cfg.width), fill, a.dtype) \
+            if fill else np.zeros((cfg.height, cfg.width), a.dtype)
+        canvas[:h, :w] = a[:h, :w]
+        out.append(np.roll(canvas, (-dv0, -du0), axis=(0, 1)))
+    return (out, grid_u - np.float32(du0), grid_v - np.float32(dv0),
+            cov_bounds - np.asarray([du0, du0, dv0, dv0], 'f4'))
+
+
+def prepare_epoch_inputs(im, out_wcs, cfg: PipelineConfig):
+    """Host-side per-epoch prep for ``make_coadd_pipeline``: mapping grid
+    from the output canvas into the epoch frame, integer pre-roll into
+    the bucket, FLXSCALE factor. Returns a dict of numpy arrays."""
+    from ..wcs import pixel_mapping
+    from ..ops.coadd import fluxscale
+
+    from ..constants import MASK_BIT_NODATA_ALIGN
+
+    grid = pixel_mapping(im.wcs, out_wcs, (cfg.height, cfg.width),
+                         step=cfg.map_step)
+    data = np.ascontiguousarray(im.data).astype('f4')
+    mask = (np.ascontiguousarray(im.mask_image.data).astype('i4')
+            if im.mask_image is not None
+            else np.zeros(data.shape, 'i4'))
+    pad = np.ones(data.shape, 'i4')
+    (data, mask, pad), gu, gv, covb = _embed_roll(
+        [data, mask, pad], np.asarray(grid.u, 'f4'),
+        np.asarray(grid.v, 'f4'), cfg)
+    # embedded-canvas padding must not look like valid sky to the
+    # in-program background mesh (zeros dragged the mesh down across the
+    # last cells and ramped the fused coadd by +18 counts at the edges)
+    mask = np.where(pad == 0, mask | (1 << MASK_BIT_NODATA_ALIGN), mask)
+    zp = im.header.get('MAGZP')
+    return {
+        'img': data, 'mask': mask,
+        'sat': np.float32(im.header.get('SATURATE', 0) or 3e38),
+        'grid_u': gu, 'grid_v': gv, 'cov_bounds': covb,
+        'scale': np.float32(fluxscale(zp) if zp is not None else 1.0),
+    }
 
 
 def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None):
