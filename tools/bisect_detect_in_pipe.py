@@ -26,8 +26,10 @@ def main():
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     H, W = 3080, 3072
+    # mirror bench.py main()'s production config exactly
     base = dict(height=H, width=W, ksize=15, stamp=41, smax=384,
-                order=4, nreg=3, max_det=1024)
+                order=4, nreg=3, max_det=4096,
+                det_cap=1 << 16, deb_cap=1 << 16)
     args0 = _synth_inputs(1, H, W, PipelineConfig(**base), seed=0)
     argsj = [jnp.asarray(a) for a in args0]
 

@@ -75,21 +75,83 @@ def prefix_count(mask):
     return _prefix_sum_f32(mask.astype(jnp.float32)).astype(jnp.int32)
 
 
+def _popcount16(v):
+    """SWAR popcount of values holding 16 significant bits (int32)."""
+    v = v - ((v >> 1) & 0x5555)
+    v = (v & 0x3333) + ((v >> 2) & 0x3333)
+    v = (v + (v >> 4)) & 0x0f0f
+    return (v + (v >> 8)) & 0x1f
+
+
 def compact_indices(mask, size, fill_value):
     """Indices of the first ``size`` True elements of flat bool ``mask``
     (ascending flat order), padded with ``fill_value`` — the semantics of
     ``jnp.nonzero(mask, size=size, fill_value=...)[0]`` WITHOUT its
     lowering: jax 0.9.0 implements nonzero as cumsum(bincount(cumsum)),
     and bincount is a full-domain scatter-ADD that measures ~120-400 ms
-    at 9.4M elements on v5e (tools/bench_nonzero.py r3). The rank-scatter
-    SET below (one MXU-blocked prefix count + one dropped-OOB scatter of
-    unique ranks) is ~2 ms at the same shape. Entries past ``size`` are
-    dropped — the raggedest-tail overflow rule callers already count."""
+    at 9.4M elements on v5e (tools/bench_nonzero.py r3). Entries past
+    ``size`` are dropped — the raggedest-tail overflow rule callers
+    already count.
+
+    Small domains use a rank scatter (one MXU-blocked prefix count + one
+    dropped-OOB scatter of unique ranks). Large (frame-sized) domains use
+    OUTPUT-SIDE rank-select instead: the scatter's cost scales with the
+    9.4M input elements (measured ~45 ms of the 485 ms frame,
+    tools/bisect_pipeline.py r4) even though only ``size`` land; selecting
+    from the output side touches ~size*16 gathered words. Structure:
+    pack the mask into 256-px block bitmaps (16 u16 words each, pure
+    vector ops), prefix the block counts, scatter each contributing
+    block's id at its output offset + cummax-fill (block-of-output with
+    no searchsorted — PERF.md: a 65k searchsorted is ~17 chained
+    gathers), then per output slot gather the block's 16 words and
+    binary-descend to the rank's set bit with SWAR popcounts."""
     n = mask.shape[0]
-    pos = prefix_count(mask) - 1                       # rank among Trues
-    tgt = jnp.where(mask, pos, size)                   # OOB -> dropped
-    return jnp.full(size, fill_value, jnp.int32).at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode='drop')
+    if n <= (1 << 17):
+        pos = prefix_count(mask) - 1                   # rank among Trues
+        tgt = jnp.where(mask, pos, size)               # OOB -> dropped
+        return jnp.full(size, fill_value, jnp.int32).at[tgt].set(
+            jnp.arange(n, dtype=jnp.int32), mode='drop')
+
+    assert n < (1 << 24), 'block offsets exceed exact-f32 range'
+    B = 256
+    nb = -(-n // B)
+    bits = jnp.pad(mask, (0, nb * B - n)).reshape(nb, 16, 16)
+    shifts = jnp.asarray(1 << np.arange(16, dtype=np.int32))
+    words = jnp.sum(bits.astype(jnp.int32) * shifts, axis=2)   # (nb, 16)
+    cb = jnp.sum(bits, axis=(1, 2)).astype(jnp.float32)        # (nb,)
+    ob = (_prefix_sum_f32(cb) - cb).astype(jnp.int32)          # exclusive
+    total = jnp.sum(cb).astype(jnp.int32)
+
+    # block-of-output: contributing blocks have strictly increasing
+    # offsets, so scatter each block id at its offset and cummax-fill
+    blk = jnp.full(size, -1, jnp.int32).at[
+        jnp.where(cb > 0, ob, size)].set(
+        jnp.arange(nb, dtype=jnp.int32), mode='drop')
+    blk = jax.lax.associative_scan(jnp.maximum, blk)
+    blk_s = jnp.maximum(blk, 0)
+
+    s = jnp.arange(size, dtype=jnp.int32)
+    t = s - ob[blk_s]                                  # rank within block
+    ws = words[blk_s]                                  # (size, 16) gather
+    wp = _popcount16(ws)
+    cum = jnp.cumsum(wp, axis=1)                       # inclusive
+    wsel = jnp.sum((cum <= t[:, None]).astype(jnp.int32), axis=1)
+    wsel = jnp.minimum(wsel, 15)
+    wv = jnp.take_along_axis(ws, wsel[:, None], axis=1)[:, 0]
+    cexc = jnp.take_along_axis(cum - wp, wsel[:, None], axis=1)[:, 0]
+    t2 = t - cexc
+    # binary descent to the t2-th set bit of the u16 word
+    base = jnp.zeros(size, jnp.int32)
+    cur = wv
+    for width in (8, 4, 2, 1):
+        pl = _popcount16(cur & ((1 << width) - 1))
+        go = t2 >= pl
+        t2 = t2 - jnp.where(go, pl, 0)
+        base = base + jnp.where(go, width, 0)
+        cur = jnp.where(go, cur >> width, cur & ((1 << width) - 1))
+    idx = blk_s * B + wsel * 16 + base
+    return jnp.where((s < jnp.minimum(total, size)) & (blk >= 0),
+                     idx, fill_value).astype(jnp.int32)
 
 INT_MAX = np.iinfo(np.int32).max
 
@@ -344,8 +406,14 @@ def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
     # cell peak is active whenever the pixel is (peak >= pixel >= t_l), so
     # the init is valid and hooks only need to merge adjacent CELLS
     lab0 = jnp.where(active, cellpos[None], posidx[None])
-    nbr_act = jnp.take(active, nbr_pos, axis=1)          # (L, 8, cap)
-    ok = (nbr_ok[None] & active[:, None] & nbr_act)      # (L, 8, cap)
+    # per-edge LEVEL WEIGHT instead of per-level edge masks: activity is
+    # monotone (active at l <=> l < lpix), so edge (p, q) is valid at
+    # level l <=> l < min(lpix_p, lpix_q). One (8, cap) gather of lpix
+    # replaces the (L, 8, cap) nbr_act take + (8, L, cap) ok stack that
+    # were ~1/3 of this stage's gather volume (deb_lab measured 174.8 ms
+    # of the 485 ms frame at deb_cap=64k, tools/bisect_detect_in_pipe r4).
+    w_edge = jnp.where(nbr_ok, jnp.minimum(lpix[None], lpix[nbr_pos]), 0)
+    lev3 = jnp.arange(L, dtype=lpix.dtype)[:, None, None]    # (L, 1, 1)
 
     # fully unrolled hook+compress (fori/while carries copy every (L, cap)
     # operand across the loop boundary — ~85 ms/step in device traces);
@@ -356,7 +424,7 @@ def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
     for _ in range(3):
         cand = jnp.take(labp, nbr_pos, axis=1)           # (L, 8, cap)
         ln = jnp.minimum(labp, jnp.min(
-            jnp.where(ok, cand, labp[:, None]), axis=1))
+            jnp.where(lev3 < w_edge[None], cand, labp[:, None]), axis=1))
         for _c in range(3):
             ln = jnp.minimum(ln, jnp.take_along_axis(ln, ln, axis=1))
         labp = ln                                            # (L, cap) pos

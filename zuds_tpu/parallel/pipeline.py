@@ -99,6 +99,33 @@ class PipelineConfig:
     det_dbg_stop_after: str = None
 
 
+def _dilate_max(x, reach, fill=-jnp.inf):
+    """(2*reach+1)^2 sliding max via log-doubling shifted elementwise maxes
+    (same pattern as ops.resample.box_mask_or): ~6 full-frame passes for
+    reach 5 vs lax.reduce_window's ~15 ms/frame on v5e."""
+    def shift2(a, k, axis):
+        pad_shape = list(a.shape)
+        pad_shape[axis] = k
+        pad = jnp.full(pad_shape, fill, a.dtype)
+        lo = jnp.concatenate(
+            [jax.lax.slice_in_dim(a, k, a.shape[axis], axis=axis), pad],
+            axis=axis)
+        hi = jnp.concatenate(
+            [pad, jax.lax.slice_in_dim(a, 0, a.shape[axis] - k, axis=axis)],
+            axis=axis)
+        return jnp.maximum(a, jnp.maximum(lo, hi))
+
+    covered = 0
+    step = 1
+    while covered < reach:
+        k = min(step, reach - covered)
+        for axis in (0, 1):
+            x = shift2(x, k, axis)
+        covered += k
+        step = covered + 1
+    return x
+
+
 def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
                                   batch_axis='data'):
     """Build the jitted batched subtract+detect+photometer program.
@@ -255,6 +282,8 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
             return {'diff': diff + det['n'].astype(jnp.float32)}
         phot = aperture_photometry_batched(diff, rms_out, submask,
                                            det['x'], det['y'])
+        if cfg.dbg_stop_after == 'phot':
+            return {'diff': diff + jnp.sum(phot['flux'])}
 
         # --- device-side catalog refinement + filter inputs --------------
         # everything catalog._build / filter_sexcat previously recomputed
@@ -266,14 +295,35 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
         # weak #2: ~340 MB/batch over a ~100-250 ms-RTT tunnel).
         from ..ops.measure import refine_detections
         from ..ops.background import bisect_median
+        from ..ops.photometry import circle_pixel_overlap
         ref_meas = refine_detections(diff, rms_out, det['x'], det['y'],
                                      det['a'], det['b'], det['theta'],
                                      det['fwhm'])
-        rms_ap = aperture_photometry_batched(rms_out, None, None,
-                                             det['x'], det['y'], r=6.0)
-        bpm_ap = aperture_photometry_batched(bad.astype(jnp.float32), None,
-                                             None, det['x'], det['y'],
-                                             r=6.0)
+        if cfg.dbg_stop_after == 'refine':
+            return {'diff': diff + jnp.sum(ref_meas['flux_auto'])}
+        # r=6 rms / bad-pixel aperture sums in ONE vmapped pass: the two
+        # aperture_photometry_batched calls each sliced the frame and
+        # recomputed the same overlap weights (and the zero-mask flag loop)
+        # — fusing them halved this stage (18.6 -> ~9 ms at max_det=4096)
+        r6 = jnp.float32(6.0)
+        cut6 = 15  # 2*ceil(6)+3, aperture_photometry_batched's sizing
+        half6 = cut6 // 2
+        badf = bad.astype(jnp.float32)
+        xi6 = jnp.clip(jnp.round(det['x']).astype(jnp.int32) - half6,
+                       0, W - cut6)
+        yi6 = jnp.clip(jnp.round(det['y']).astype(jnp.int32) - half6,
+                       0, H - cut6)
+
+        def ap6_one(x0i, y0i, xc, yc):
+            yy = y0i + jnp.arange(cut6, dtype=jnp.float32)[:, None]
+            xx = x0i + jnp.arange(cut6, dtype=jnp.float32)[None, :]
+            w = jnp.clip(circle_pixel_overlap(xx - xc, yy - yc, r6),
+                         0.0, 1.0)
+            sr = jax.lax.dynamic_slice(rms_out, (y0i, x0i), (cut6, cut6))
+            sb = jax.lax.dynamic_slice(badf, (y0i, x0i), (cut6, cut6))
+            return jnp.sum(sr * w), jnp.sum(sb * w)
+
+        rms_ap6, bpm_ap6 = jax.vmap(ap6_one)(xi6, yi6, det['x'], det['y'])
         # median of the unmasked rms map (both are mesh-smooth — a ::4
         # grid subsample estimates the median to ~sigma/sqrt(590k))
         rsub = rms_out[::4, ::4].ravel()[None, :]
@@ -294,15 +344,23 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
         ny0 = jnp.clip(jnp.round(det['y']).astype(jnp.int32) - big // 2,
                        0, H - big)
 
-        def negpix_one(x0i, y0i):
-            cut = jax.lax.dynamic_slice(diff, (y0i, x0i), (big, big))
-            s = (cut - dmed) / dsig
-            m = jax.lax.reduce_window(s, -jnp.inf, jax.lax.max, (3, 3),
-                                      (1, 1), 'SAME')
-            inner = (slice(1, big - 1), slice(1, big - 1))
-            return jnp.any((s[inner] < -5.0) & (m[inner] > 5.0))
-
-        negpix = jax.vmap(negpix_one)(nx0, ny0)
+        if cfg.dbg_stop_after == 'aps':
+            return {'diff': diff + jnp.sum(rms_ap6)
+                    + jnp.sum(bpm_ap6) + rms_med}
+        # FULL-FRAME negpix: 3x3 max-dilate + <-5/&>+5 test + 11x11
+        # OR-dilate are ~12 elementwise shift passes (~0.1 ms each), then
+        # ONE 4096-point gather — vs vmapping a 13x13 dynamic_slice +
+        # reduce_window per candidate (measured 45.9 ms of the 485 ms
+        # frame, tools/bisect_pipeline.py r4). Exact: every inner pixel of
+        # the old per-candidate cut has its full 3x3 neighborhood inside
+        # both the cut and the frame, so the pooled decisions agree
+        # bit-for-bit (tests/test_parallel.py pins the batched-vs-host
+        # filter columns).
+        s_full = (diff - dmed) / dsig
+        m3 = _dilate_max(s_full, 1)
+        badpx = ((s_full < -5.0) & (m3 > 5.0)).astype(jnp.float32)
+        or11 = _dilate_max(badpx, big // 2 - 1, fill=0.0)
+        negpix = or11[ny0 + big // 2, nx0 + big // 2] > 0.0
 
         out = {
             'diff': diff, 'rms': rms_out,
@@ -331,8 +389,8 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
                   'fluxerr_auto', 'awin', 'bwin', 'thetawin', 'errawin',
                   'errbwin', 'errthetawin'):
             out[f'det_{k}'] = ref_meas[k]
-        out['det_rms_ap'] = rms_ap['flux']
-        out['det_bpm_ap'] = bpm_ap['flux']
+        out['det_rms_ap'] = rms_ap6
+        out['det_bpm_ap'] = bpm_ap6
         out['det_negpix'] = negpix
         out['rms_med'] = rms_med
         return out
