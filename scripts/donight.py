@@ -275,9 +275,15 @@ def run_night(work, batch=4, ml=True, db=True, cfg=None, loader=None,
         # before batch k's outputs are touched, so host catalog/commit
         # work overlaps device compute (VERDICT r3 weak #2b)
         pending = None
+        # device-resident reference transfer cache: a night reuses one
+        # ref per field across many sci frames; upload it once (r4:
+        # bench --files was host-link transfer bound)
+        ref_cache = {}
+        timing = os.environ.get('ZUDS_NIGHT_TIMING')
         for b0 in range(0, len(work), batch):
             chunk = list(range(b0, min(b0 + batch, len(work))))
             frames, meta = [], []
+            t_load0 = time.time()
             for i in chunk:
                 sci_path, ref_path = work[i]
                 try:
@@ -286,7 +292,8 @@ def run_night(work, batch=4, ml=True, db=True, cfg=None, loader=None,
                     if sci.data.shape != (cfg.height, cfg.width):
                         raise ValueError(
                             f'shape {sci.data.shape} != pipeline bucket')
-                    inputs = prepare_frame_inputs(sci, ref, cfg)
+                    inputs = prepare_frame_inputs(sci, ref, cfg,
+                                                  ref_cache=ref_cache)
                     frames.append(inputs)
                     meta.append((i, sci, ref))
                 except Exception as e:
@@ -306,8 +313,16 @@ def run_night(work, batch=4, ml=True, db=True, cfg=None, loader=None,
             if pipe is None:
                 pipe = make_subtract_detect_pipeline(cfg)
             t0 = time.time()
-            args = [jnp.asarray(np.stack([f[k] for f in frames]))
+            # jnp.stack, NOT np.stack: prepare_frame_inputs returns
+            # device-resident arrays (cached ref, reused sci upload) that
+            # np.stack would pull back over the host link
+            args = [jnp.stack([jnp.asarray(f[k]) for f in frames])
                     for k in ARG_KEYS]
+            if timing:
+                for a in args:
+                    a.block_until_ready()
+                print(f'  [t] load+prep {t0 - t_load0:.2f}s  '
+                      f'stack+upload {time.time() - t0:.2f}s', flush=True)
             pout = pipe(*args)          # async dispatch
             if pending is not None:
                 process(*pending)       # overlaps device compute

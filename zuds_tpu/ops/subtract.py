@@ -269,9 +269,18 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
     # default growth 8: fixes the r4 realistic-scene region blowup while
     # staying <1 mmag against the unregularized float64 oracle
     # (tests/test_parity.py); ZUDS_FIT_RIDGE_GROWTH=0 restores the flat
-    # ridge
+    # ridge.
+    # base 1e-5 (Jacobi-normalized, so 1e-5 of each column's own scale):
+    # at 1e-7 the KERNEL-basis block is unpinned when few stamps
+    # constrain it — kappa*eps_f32 ~ O(1), and ulp-level input changes
+    # swung the coefficient vector by O(10) along near-null directions
+    # (stamp chi2 moved 0.002) while the off-stamp model wandered ~4
+    # counts across the frame (r4, preroll-bucket cross-path test). 1e-5
+    # caps kappa at ~1e5, pinning the off-stamp model, and measures <1
+    # mmag vs the unregularized float64 oracle (well-constrained
+    # directions shift by ~1e-5 relative).
     import os as _os
-    base_l = float(_os.environ.get('ZUDS_FIT_RIDGE', '1e-7'))
+    base_l = float(_os.environ.get('ZUDS_FIT_RIDGE', '1e-5'))
     growth = float(_os.environ.get('ZUDS_FIT_RIDGE_GROWTH', '8'))
     t_ord = np.asarray([p + q for p, q in terms], np.float32)
     lam_col = np.full(D, base_l, np.float32)

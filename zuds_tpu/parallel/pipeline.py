@@ -572,7 +572,8 @@ def prepare_epoch_inputs(im, out_wcs, cfg: PipelineConfig):
     }
 
 
-def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None):
+def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None,
+                         ref_cache=None):
     """Host-side per-pair input prep for the batched pipeline.
 
     Computes the ref->sci coarse mapping grid, star stamps, and the
@@ -590,6 +591,18 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None):
     the per-pair align path runs on device) and the grid/coverage bounds
     are shifted to match; a residual that exceeds the bucket raises
     ValueError, which the night driver routes to the per-pair fallback.
+
+    ``ref_cache`` (dict, keyed by reference identity): device-resident
+    transfer cache for the night driver. Nights subtract MANY science
+    frames against ONE reference per field (the reference's rank loop,
+    scripts/dosub.py:202-211, reuses the ref file likewise), but each
+    pair's integer pre-roll differs — so the UNROLLED reference + mask
+    are uploaded once, kept on device, and the per-pair roll runs there
+    (one HBM-to-HBM copy, ~1 ms) instead of re-shipping ~76 MB per pair
+    over the host link (measured dominant cost of bench.py --files, r4).
+    The returned 'ref'/'ref_mask' (and 'sci' when the stamp selector
+    already uploaded it) are then jax device arrays; callers must stack
+    with jnp.stack, not np.stack (which would pull them back).
     """
     import jax.numpy as jnp
     from ..wcs import pixel_mapping
@@ -615,7 +628,10 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None):
     du = grid_u - gx[None, :]
     dv = grid_v - gy[:, None]
     resid = max(np.abs(du).max(), np.abs(dv).max())
-    if resid > cfg.max_shift or refdata.shape != (cfg.height, cfg.width):
+    du0 = dv0 = 0
+    need_embed = refdata.shape != (cfg.height, cfg.width)
+    need_roll = resid > cfg.max_shift or need_embed
+    if need_roll:
         du0 = int(round(float(np.median(du))))
         dv0 = int(round(float(np.median(dv))))
         resid2 = max(np.abs(du - du0).max(), np.abs(dv - dv0).max())
@@ -623,8 +639,13 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None):
             raise ValueError(
                 f'mapping residual {resid2:.2f} exceeds the '
                 f'max_shift={cfg.max_shift} bucket; per-pair fallback')
-        # embed + integer-roll on the host. The device program gates by
-        # the ORIGINAL source bounds (cov_bounds below), which provably
+        grid_u = grid_u - np.float32(du0)
+        grid_v = grid_v - np.float32(dv0)
+        cov_bounds = cov_bounds - np.asarray([du0, du0, dv0, dv0], 'f4')
+
+    def _embed(data, mask):
+        # embed into the pipeline canvas. The device program gates by
+        # the ORIGINAL source bounds (cov_bounds above), which provably
         # excludes every dest pixel whose Lanczos taps could touch the
         # wrapped strips (effective taps span u±3 original cols, and the
         # original bound keeps those inside the true data); the price is
@@ -636,13 +657,29 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None):
         canvas = np.zeros((cfg.height, cfg.width), 'f4')
         mcanvas = np.zeros((cfg.height, cfg.width), 'i4')
         h, w = min(Hs, cfg.height), min(Ws, cfg.width)
-        canvas[:h, :w] = refdata[:h, :w]
-        mcanvas[:h, :w] = refmask[:h, :w]
+        canvas[:h, :w] = data[:h, :w]
+        mcanvas[:h, :w] = mask[:h, :w]
+        return canvas, mcanvas
+
+    if ref_cache is not None:
+        # device-resident transfer cache: upload the UNROLLED reference
+        # once per unique ref; apply the per-pair integer roll on device
+        key = (getattr(ref, 'local_path', None)
+               or getattr(ref, 'basename', None) or id(ref))
+        if key not in ref_cache:
+            cd, cm = _embed(refdata, refmask) if need_embed \
+                else (refdata, refmask)
+            if len(ref_cache) >= 4:
+                ref_cache.pop(next(iter(ref_cache)))
+            ref_cache[key] = (jnp.asarray(cd), jnp.asarray(cm))
+        refdata, refmask = ref_cache[key]
+        if need_roll:
+            refdata = jnp.roll(refdata, (-dv0, -du0), axis=(0, 1))
+            refmask = jnp.roll(refmask, (-dv0, -du0), axis=(0, 1))
+    elif need_roll:
+        canvas, mcanvas = _embed(refdata, refmask)
         refdata = np.roll(canvas, (-dv0, -du0), axis=(0, 1))
         refmask = np.roll(mcanvas, (-dv0, -du0), axis=(0, 1))
-        grid_u = grid_u - np.float32(du0)
-        grid_v = grid_v - np.float32(dv0)
-        cov_bounds = cov_bounds - np.asarray([du0, du0, dv0, dv0], 'f4')
     scidata = None
     if getattr(sci, '_catalog', None) is not None:
         xs, ys, valid = _select_stamps(sci, smax=smax)
@@ -667,11 +704,22 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None):
             estimate_seeing(sci)
     basis = KernelBasis(cfg.ksize,
                         seeing_sigma=float(sci.header['SEEING']) / 2.355)
+    if ref_cache is not None and scidata is not None:
+        # the stamp selector already shipped sci to the device — reuse it
+        sci_out = scidata
+    else:
+        sci_out = np.ascontiguousarray(sci.data).astype('f4')
+    smask = (np.ascontiguousarray(sci.mask_image.data).astype('i4')
+             if sci.mask_image is not None
+             else np.zeros((cfg.height, cfg.width), 'i4'))
+    if ref_cache is not None and smask.min() >= 0 and smask.max() < (1 << 16):
+        # ship the science bitmask as u16 (raw IPAC masks are 16-bit;
+        # bits 16/17 only appear on device or in coadd REF products) and
+        # widen on device — halves the mask's host-link bytes
+        smask = jnp.asarray(smask.astype(np.uint16)).astype(jnp.int32)
     return {
-        'sci': np.ascontiguousarray(sci.data).astype('f4'),
-        'sci_mask': (np.ascontiguousarray(sci.mask_image.data).astype('i4')
-                     if sci.mask_image is not None
-                     else np.zeros((cfg.height, cfg.width), 'i4')),
+        'sci': sci_out,
+        'sci_mask': smask,
         'ref': refdata,
         'ref_mask': refmask,
         'grid_u': grid_u, 'grid_v': grid_v,
