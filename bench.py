@@ -103,7 +103,7 @@ def _write_bench_frames(d, npairs, H, W, seed=7):
     return ref_path, paths
 
 
-def main_files(npairs=6, batch=2):
+def main_files(npairs=6, batch=2, standalone=True):
     """files -> catalog throughput: the REAL unit of work (ingest FITS from
     disk, align+subtract+detect+photometer on device, build catalogs) —
     what BASELINE.md's ~1.1 q/s/node measures for the reference. Uses the
@@ -155,7 +155,10 @@ def main_files(npairs=6, batch=2):
         'detections_per_frame': ndet,
         'frames_with_detections': sum(1 for n in ndet if n >= 1),
     }
-    print(json.dumps(result))
+    # every frame plants one bright transient; a frame with zero surviving
+    # detections is a funnel-recall failure, not a perf footnote (advisor
+    # r4) — gate on it so a recall regression cannot pass silently
+    result['recall_ok'] = result['frames_with_detections'] == nok
     print(f'# pairs={len(work)} ok={nok} elapsed={elapsed:.2f}s '
           f'warmup={compile_s:.1f}s', file=sys.stderr)
     out = os.environ.get('BENCH_FILES_OUT')
@@ -163,9 +166,19 @@ def main_files(npairs=6, batch=2):
         with open(out, 'w') as f:
             json.dump(result, f)
             f.write('\n')
+    if not result['recall_ok']:
+        print('# RECALL FAILURE: '
+              f'{nok - result["frames_with_detections"]} of {nok} frames '
+              'lost their planted transient', file=sys.stderr)
+    if not standalone:
+        return result
+    print(json.dumps(result))
+    if not result['recall_ok']:
+        sys.exit(2)
+    return result
 
 
-def main_coadd(nepochs=8):
+def main_coadd(nepochs=8, standalone=True):
     """Epoch-stack coadd throughput through the PRODUCTION path
     (Coadd.from_images -> fused make_coadd_pipeline): FITS ingest, one
     jitted device program per stack (per-epoch background mesh + weight +
@@ -252,9 +265,12 @@ def main_coadd(nepochs=8):
         'unit': 'epochs/sec/chip',
         'vs_baseline': round(eps / 1.1, 2),
     }
-    print(json.dumps(result))
     print(f'# nepochs={nepochs} iters={iters} elapsed={elapsed:.2f}s '
           f'warmup={compile_s:.1f}s', file=sys.stderr)
+    if not standalone:
+        return result
+    print(json.dumps(result))
+    return result
 
 
 def main():
@@ -309,11 +325,34 @@ def main():
         'unit': 'quadrants/sec/chip',
         'vs_baseline': round(qps / baseline, 2),
     }
-    print(json.dumps(result))
     print(f'# batch={B} iters={iters} elapsed={elapsed:.3f}s '
           f'compile={compile_s:.1f}s device={jax.devices()[0]} '
           f'detections={int(np.asarray(out["det_n"]).sum())}',
           file=sys.stderr)
+
+    # secondary legs (VERDICT r4 items 2 & 4): the files->catalog and
+    # coadd chains, recorded by the driver in the SAME json line so every
+    # round has fresh artifacts for all three numbers. Failures there must
+    # not lose the primary metric — each leg is fenced. Skip with
+    # ZUDS_BENCH_EXTRAS=0.
+    if os.environ.get('ZUDS_BENCH_EXTRAS', '1') != '0':
+        try:
+            fr = main_files(standalone=False)
+            result['files_qps'] = fr['value']
+            result['files_vs_baseline'] = fr['vs_baseline']
+            result['files_detections_per_frame'] = \
+                fr['detections_per_frame']
+            result['files_recall_ok'] = fr['recall_ok']
+        except Exception as e:            # noqa: BLE001 — report, don't die
+            print(f'# files leg FAILED: {e!r}', file=sys.stderr)
+            result['files_qps'] = None
+        try:
+            cr = main_coadd(standalone=False)
+            result['coadd_eps'] = cr['value']
+        except Exception as e:            # noqa: BLE001
+            print(f'# coadd leg FAILED: {e!r}', file=sys.stderr)
+            result['coadd_eps'] = None
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

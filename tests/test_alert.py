@@ -182,3 +182,61 @@ def test_xmatch_name_services_local(db):
     assert out['mqid'] == 'MQ 1501+3512'
     assert out['tnsid'] == '2019abc'
     assert out['ztfname'] == 'ZTF18zzzzzzz,ZTF19aaaaaaa'
+
+
+def test_send_alert_kafka_produce_branch(db, tmp_path, tmp_config,
+                                         monkeypatch):
+    """The confluent-kafka produce path (reference zuds/send.py:43-101):
+    topic naming, one container message per alert, delivery flush, and DB
+    sent-flag — exercised against an injected in-memory Producer (the
+    broker itself is external infrastructure, as in the reference)."""
+    import datetime
+    import io
+    import sys
+    import types
+
+    from zuds_tpu.alert import Alert
+    from zuds_tpu import send as send_mod
+    from zuds_tpu.avro import read_avro
+    import zuds_tpu.secrets as secrets
+
+    det, sub, sci = _fake_detection(db)
+    det.image = None
+    alert = Alert.from_detection(det, xmatch_enabled=False)
+
+    tmp_config.write_text('kafka_brokers: broker1:9092,broker2:9092\n')
+    tmp_config.chmod(0o600)
+    secrets._manager.cache = None
+
+    produced = []
+    flushed = []
+
+    class _Producer:
+        def __init__(self, conf):
+            assert conf['bootstrap.servers'] == 'broker1:9092,broker2:9092'
+
+        def produce(self, topic, value):
+            produced.append((topic, value))
+
+        def flush(self):
+            flushed.append(True)
+
+    fake = types.ModuleType('confluent_kafka')
+    fake.Producer = _Producer
+    monkeypatch.setitem(sys.modules, 'confluent_kafka', fake)
+
+    topic = send_mod.send_alert(alert)
+    date = datetime.datetime.utcnow().strftime('%Y%m%d')
+    assert topic == f'ztf_{date}_programid2_zuds'
+    assert flushed and len(produced) == 1
+    got_topic, value = produced[0]
+    assert got_topic == topic
+
+    # the produced bytes are a complete, readable Avro container
+    rschema, records = read_avro(io.BytesIO(value))
+    assert len(records) == 1
+    assert records[0]['objectId'] == 'ZUDSx'
+    assert records[0]['candidate']['ra'] == pytest.approx(150.1)
+
+    # the sent flag persisted
+    assert alert.sent == 1

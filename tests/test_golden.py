@@ -13,6 +13,26 @@ TOL = dict(rtol=2e-3, atol=2e-3)   # float32 + platform headroom
 
 
 def _fixture():
+    # PIN the fit ridge: with only 25 stamps the golden kernel coefficients
+    # move materially with the regularization (r4 lesson: a 1e-7 -> 1e-5
+    # default change silently invalidated the goldens). The golden compares
+    # a fixed configuration, not the shipping default. Restored on exit so
+    # other tests in the process see the true defaults.
+    saved = {k: os.environ.get(k)
+             for k in ('ZUDS_FIT_RIDGE', 'ZUDS_FIT_RIDGE_GROWTH')}
+    os.environ['ZUDS_FIT_RIDGE'] = '1e-5'
+    os.environ['ZUDS_FIT_RIDGE_GROWTH'] = '8'
+    try:
+        return _fixture_inner()
+    finally:
+        for k, val in saved.items():
+            if val is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = val
+
+
+def _fixture_inner():
     import jax.numpy as jnp
     from zuds_tpu.ops.subtract import KernelBasis, fit_kernel, apply_kernel
     from zuds_tpu.ops.coadd import clipped_coadd

@@ -302,18 +302,14 @@ def test_preroll_bucket_matches_wide_window(rng):
         return jax.device_get(make_subtract_detect_pipeline(cfg)(
             *[jnp.asarray(x) for x in a]))
 
-    # warp-level: refw + cov, ulp-equal wherever BOTH cover. The naive
-    # weight construction made this bit-exact (L(t) with t = d - j formed
-    # first is invariant under integer rewrites of d); the phase-trick
-    # construction evaluates sin(pi*d) at the two paths' different d
-    # magnitudes, so rounding differs in the last f32 ulp (~6e-7 rel).
-    # Accuracy vs the EXACT warp is pinned separately at 5e-5 by the
-    # resample parity suite; masks below stay bit-equal (interval rules).
+    # warp-level: refw + cov, exactly equal wherever BOTH cover (the
+    # naive weight construction forms t = d - j BEFORE any transcendental,
+    # so L(t) is invariant under the two paths' integer rewrites of d)
     wA = np.asarray(run(argsA, 10, 'warp')['diff'][0])
     wB = np.asarray(run(argsB, 2, 'warp')['diff'][0])
     both_w = (wA != 0) & (wB != 0)
     assert both_w.mean() > 0.8
-    np.testing.assert_allclose(wA[both_w], wB[both_w], rtol=2e-6, atol=2e-4)
+    np.testing.assert_array_equal(wA[both_w], wB[both_w])
 
     outA = run(argsA, 10)
     outB = run(argsB, 2)
@@ -334,16 +330,16 @@ def test_preroll_bucket_matches_wide_window(rng):
         assert edge_band.all(), 'coverage lost away from the dither band'
     both = covA & covB
     assert both.sum() > 0.75 * H * Wd
-    # ulp-equal warps -> the chains differ through last-ulp rounding and
-    # the band's exclusion from the robust estimators, both amplified
-    # only along the fit's near-null directions (8 stamps barely
-    # constrain the kernel basis). The Jacobi ridge (ops/subtract.py,
-    # default 1e-5) pins those directions — at 1e-7 this median measured
-    # 3.9 (off-stamp model wander), at 1e-5 it is back inside the bound.
-    # Pixel agreement
-    # is statistical: the bulk must agree well below the noise (sigma=5);
-    # a data-corruption bug (wrapped-strip taps) would break the
-    # ulp-equality assert above and shift the bulk here.
+    # identical warps -> the chains differ only through the band's
+    # exclusion from the background/ref-rms robust estimators, which can
+    # flip a stamp in the fit's sigma-clip (butterfly on the % level at
+    # star cores with only 8 stamps), amplified only along the fit's
+    # near-null directions. The Jacobi ridge (ops/subtract.py, default
+    # 1e-5) pins those directions — at 1e-7 this median measured 3.9
+    # (off-stamp model wander), at 1e-5 it is back inside the bound.
+    # Pixel agreement is statistical: the bulk must agree well below the
+    # noise (sigma=5); a data-corruption bug (wrapped-strip taps) would
+    # break the bit-equality assert above and shift the bulk here.
     dd = np.abs(dA[both] - dB[both])
     assert np.median(dd) < 2.0, np.median(dd)
     assert np.percentile(dd, 95) < 20.0, np.percentile(dd, 95)

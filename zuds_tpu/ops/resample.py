@@ -174,125 +174,16 @@ def box_mask_or(mask, reach=7):
     return out
 
 
-def _tap_weight_consts(lo, hi):
-    """Per-tap constants (a_j, b_j) for the Lanczos angle-addition form.
-
-    For t = d - j (j integer), the two sinc sines collapse onto phases of
-    d alone:  sin(pi(d-j)) = (-1)^j sin(pi d)  and
-    sin(pi(d-j)/3) = cos(pi j/3) sin(pi d/3) - sin(pi j/3) cos(pi d/3),
-    so  L(t) = 3 sin(pi t) sin(pi t/3) / (pi^2 t^2) = (a_j A + b_j B)/t^2
-    with A = sin(pi d) sin(pi d/3), B = sin(pi d) cos(pi d/3). TWO
-    transcendental fields then serve every tap of the axis — the naive
-    form either recomputes lanczos3 per tap (2 sin passes each) or parks
-    an (ntap, H, W) weight stack in HBM (the r2 warp's dominant traffic).
-    """
-    js = np.arange(lo, hi + 1)
-    sgn = np.where(js % 2 == 0, 1.0, -1.0)
-    k = sgn * 3.0 / np.pi ** 2
-    return (k * np.cos(np.pi * js / 3.0)).astype(np.float32), \
-        (-k * np.sin(np.pi * js / 3.0)).astype(np.float32)
-
-
-def _tap_phases(d):
-    """(A, B) phase fields shared by every integer-offset tap of one
-    axis (see _tap_weight_consts)."""
-    pd = jnp.float32(np.pi) * d
-    sp = jnp.sin(pd)
-    return sp * jnp.sin(pd / 3.0), sp * jnp.cos(pd / 3.0)
-
-
-# L(t) ~ 1 - c2 t^2 + c4 t^4 - c6 t^6 near t=0 (the closed form is 0/0
-# there); coefficients from the sinc(t)*sinc(t/3) product series
+# L(t) ~ 1 - (10/54) pi^2 t^2 near t=0 (the closed form is 0/0 there).
+# NOTE (r4 lesson, docs/PERF.md): a phase-trick weight-STACK construction
+# (angle-addition identity, shared transcendental fields per axis) halved
+# construction flops but regressed the whole program 226 -> 434 ms/frame
+# on the real chip — cheap planes flip XLA's fusion-duplication heuristic
+# into recomputing them inside every tap consumer, and
+# lax.optimization_barrier did NOT pin them under jit+vmap. The naive
+# per-tap lanczos3() stacks below are transcendental-expensive per plane,
+# which is precisely what makes XLA materialize them once in HBM.
 _TAYLOR_C = np.float32(10.0 / 54.0 * np.pi ** 2)
-_TAYLOR_C4 = np.float32(14.0 * np.pi ** 4 / 1215.0)
-_TAYLOR_C6 = np.float32(np.pi ** 6 * 730.0 / (5040.0 * 729.0)
-                        + (np.pi ** 2 / 6.0) * (np.pi ** 4 / 120.0)
-                        * 10.0 / 81.0)
-
-
-def _tap_weight(A, B, d, j, a_j, b_j):
-    """Lanczos-3 weight L(d - j) from the hoisted axis phases: ~8 cheap
-    VPU ops per tap, no transcendentals, no weight stack. t is formed as
-    d - j directly (an expanded d^2 - 2jd + j^2 cancels catastrophically
-    near t = 0 and costs ~3e-3 absolute weight error)."""
-    t = d - j
-    t2 = t * t
-    w = (a_j * A + b_j * B) / jnp.maximum(t2, 1e-12)
-    # degree-6 series inside |t| < 0.1: the closed form's absolute error
-    # grows as ~1e-7/t^2 (phase-field rounding over the t^2 division)
-    w = jnp.where(t2 < 1e-2,
-                  1.0 - (_TAYLOR_C - (_TAYLOR_C4 - _TAYLOR_C6 * t2) * t2)
-                  * t2, w)
-    return jnp.where(t2 < 9.0, w, 0.0)
-
-
-def _phase_weight_stacks(d, lo, hi, deriv=False):
-    """Build the (ntap, H, W) Lanczos-3 weight stack (and optionally the
-    L' derivative stack) for integer taps lo..hi of one axis via the
-    angle-addition phase trick: sin(pi(d-j)) = (-1)^j sin(pi d) and the
-    pi/3 phases rotate by per-tap CONSTANTS, so 2-4 transcendental frame
-    fields serve every tap — vs 2 sinc evaluations (2 sin + 2 div passes)
-    per tap-plane in the naive construction. At window=2 the fused sep
-    warp builds 33 tap-planes; this removes ~60 full-frame transcendental
-    passes per quadrant. Values match lanczos3()/_lanczos3_d() to f32
-    rounding (~1e-7 rel); the parity suite pins the sep warp against the
-    exact warp at 5e-5.
-
-    The stacks must PARK IN HBM and be re-read by the tap loops — the
-    r3 lesson stands (inline per-use weight algebra measured 160 ms vs 65
-    in the 225-tap scan); only the construction cost changes here. With
-    the naive construction XLA materialized the planes because each was
-    transcendental-expensive; the phase trick makes a plane ~10 flops
-    from shared fields, which flips XLA's fusion-duplication heuristic
-    into RECOMPUTING planes inside every tap consumer — the measured r4
-    regression (whole program 226 -> 434 ms/frame). The
-    optimization_barrier on the returns pins the stacks as materialized
-    values so consumers read HBM instead of re-deriving.
-    """
-    pd = jnp.float32(np.pi) * d
-    S1 = jnp.sin(pd)
-    S3 = jnp.sin(pd / 3.0)
-    C3 = jnp.cos(pd / 3.0)
-    A = S1 * S3
-    B = S1 * C3
-    a, b = _tap_weight_consts(lo, hi)
-    w = jnp.stack([_tap_weight(A, B, d, j, a[idx], b[idx])
-                   for idx, j in enumerate(range(lo, hi + 1))])
-    if not deriv:
-        return jax.lax.optimization_barrier(w)
-    # L'(t) for t = d - j from the same phases (+cos(pi d)):
-    #   L  = (3/pi^2) s1 s3 / t^2,  s1 = sg S1, s3 = p1 S3 + p2 C3,
-    #   c1 = sg C1,                 c3 = p1 C3 - p2 S3,
-    #   L' = (3/pi) c1 s3 / t^2 + (1/pi) s1 c3 / t^2 - (6/pi^2) s1 s3 / t^3
-    # with sg = (-1)^j, p1 = cos(pi j/3), p2 = -sin(pi j/3).
-    C1 = jnp.cos(pd)
-    js = np.arange(lo, hi + 1)
-    sg = np.where(js % 2 == 0, 1.0, -1.0)
-    p1 = (sg * np.cos(np.pi * js / 3.0)).astype(np.float32)
-    p2 = (-sg * np.sin(np.pi * js / 3.0)).astype(np.float32)
-    k1 = np.float32(3.0 / np.pi)
-    k2 = np.float32(1.0 / np.pi)
-    k3 = np.float32(6.0 / np.pi ** 2)
-    wds = []
-    for idx, j in enumerate(js):
-        t = d - np.float32(j)
-        t2 = t * t
-        u1 = p1[idx] * S3 + p2[idx] * C3          # sg * s3(d - j)
-        u2 = p1[idx] * C3 - p2[idx] * S3          # sg * c3(d - j)
-        r2 = 1.0 / jnp.maximum(t2, 1e-12)
-        ts = jnp.where(jnp.abs(t) < 1e-6, 1.0, t)
-        wd = (k1 * C1 * u1 + k2 * S1 * u2) * r2 \
-            - k3 * S1 * u1 * r2 / ts
-        # near t=0 the closed form cancels catastrophically (u1's
-        # RELATIVE error grows as 1/t, amplified by r2); a degree-5
-        # Taylor series holds ~1e-7 absolute out to |t|=0.1, where the
-        # closed form is accurate again
-        wd = jnp.where(t2 < 1e-2,
-                       (-2.0 * _TAYLOR_C + (4.0 * _TAYLOR_C4
-                                            - 6.0 * _TAYLOR_C6 * t2) * t2)
-                       * t, wd)
-        wds.append(jnp.where(t2 < 9.0, wd, 0.0))
-    return jax.lax.optimization_barrier((w, jnp.stack(wds)))
 
 
 # per-axis mask-significance threshold: sqrt of the 5e-3 product rule, so
@@ -401,23 +292,16 @@ def warp_shift_image(img, u, v, window=4):
     # hoist the column weight fields: an (ntap, H, W) stack in HBM beats
     # recomputing per-tap weight algebra inside the scan on v5e (the
     # phase-trick per-tap form measured 160 ms vs 65 ms here AND took
-    # ~7 min to compile; the stack stays). Construction itself uses the
-    # phase trick (_phase_weight_stacks) — one weight per tap either way,
-    # so none of the r3 per-use recompute cost returns.
-    wx = _phase_weight_stacks(du, lo, hi)
+    # ~7 min to compile; the phase-trick stack CONSTRUCTION regressed the
+    # whole program 226 -> 434 ms/frame in r4 — see docs/PERF.md. The
+    # naive transcendental stacks stay.)
+    wx = jnp.stack([lanczos3(du - dx) for dx in range(lo, hi + 1)])
     wxsum = jnp.sum(wx, axis=0)
     dys = jnp.arange(lo, hi + 1)
-    ay, by = _tap_weight_consts(lo, hi)
-    pdv = jnp.float32(np.pi) * dv
-    s1v = jnp.sin(pdv)
-    s3v = jnp.sin(pdv / 3.0)
-    c3v = jnp.cos(pdv / 3.0)
-    Ay, By = s1v * s3v, s1v * c3v
 
-    def row_taps(carry, xs):
-        dy, a_j, b_j = xs
+    def row_taps(carry, dy):
         acc, wacc = carry
-        wy = _tap_weight(Ay, By, dv, dy, a_j, b_j)
+        wy = lanczos3(dv - dy)
         simg_row = jnp.roll(img, -dy, axis=0)
         for j, dx in enumerate(range(lo, hi + 1)):
             acc = acc + jnp.roll(simg_row, -dx, axis=1) * (wx[j] * wy)
@@ -426,8 +310,7 @@ def warp_shift_image(img, u, v, window=4):
 
     init = (jnp.zeros(img.shape, dtype=jnp.float32),
             jnp.zeros(img.shape, dtype=jnp.float32))
-    (acc, wacc), _ = jax.lax.scan(
-        row_taps, init, (dys, jnp.asarray(ay), jnp.asarray(by)))
+    (acc, wacc), _ = jax.lax.scan(row_taps, init, dys)
     out = acc / jnp.where(wacc == 0, 1.0, wacc)
     cov = inb.astype(jnp.float32)
     return out * cov, cov
@@ -487,13 +370,11 @@ def warp_shift_image_sep(img, u, v, window=4, order=1):
     hi = window + SUPPORT
     # HOIST the weight fields (same lesson as warp_shift_image: inline
     # per-tap weight algebra measured 160 ms + a 7-min compile; an
-    # (ntap, H, W) HBM stack read back by cheap FMA taps wins) —
-    # constructed via the phase trick (_phase_weight_stacks)
+    # (ntap, H, W) HBM stack read back by cheap FMA taps wins)
+    wx = jnp.stack([lanczos3(du - dx) for dx in range(lo, hi + 1)])
+    wy = jnp.stack([lanczos3(dv - dy) for dy in range(lo, hi + 1)])
     if order >= 1:
-        wx, wxd = _phase_weight_stacks(du, lo, hi, deriv=True)
-    else:
-        wx = _phase_weight_stacks(du, lo, hi)
-    wy = _phase_weight_stacks(dv, lo, hi)
+        wxd = jnp.stack([_lanczos3_d(du - dx) for dx in range(lo, hi + 1)])
 
     # horizontal pass AT EACH ROW (phase du evaluated at that row):
     # hp = sum_dx L(du - dx) img(:, x+dx);  hd the L' analogue;
@@ -534,11 +415,11 @@ def warp_shift_image_sep(img, u, v, window=4, order=1):
 def warp_shift_sep_image_mask(img, mask, u, v, window=4, order=1):
     """Fused separable warp: image (two-pass Lanczos-3 with the
     :func:`warp_shift_image_sep` cross-term correction) + significant-weight
-    OR bitmask, SHARING the hoisted per-axis weight stacks — the mask taps
-    are sign tests on the same wx/wy fields :func:`warp_shift_mask`
-    evaluates, so the mask output is bit-identical to that function
-    (tests/test_resample.py) while the ~30 transcendental field
-    evaluations are paid once instead of twice.
+    OR bitmask in one program — the mask taps use the same
+    :func:`_sig_lanczos` interval tests :func:`warp_shift_mask` evaluates,
+    so the mask output is bit-identical to that function
+    (tests/test_resample.py), and the image path is bit-identical to
+    :func:`warp_shift_image_sep` (same hoisted weight stacks).
 
     Returns (warped, mask_warped, coverage).
     """
@@ -552,11 +433,10 @@ def warp_shift_sep_image_mask(img, mask, u, v, window=4, order=1):
 
     lo = -(window + SUPPORT)
     hi = window + SUPPORT
+    wx = jnp.stack([lanczos3(du - dx) for dx in range(lo, hi + 1)])
+    wy = jnp.stack([lanczos3(dv - dy) for dy in range(lo, hi + 1)])
     if order >= 1:
-        wx, wxd = _phase_weight_stacks(du, lo, hi, deriv=True)
-    else:
-        wx = _phase_weight_stacks(du, lo, hi)
-    wy = _phase_weight_stacks(dv, lo, hi)
+        wxd = jnp.stack([_lanczos3_d(du - dx) for dx in range(lo, hi + 1)])
 
     hp = jnp.zeros(img.shape, jnp.float32)
     hd = jnp.zeros(img.shape, jnp.float32)
@@ -568,7 +448,11 @@ def warp_shift_sep_image_mask(img, mask, u, v, window=4, order=1):
         hp = hp + rolled * wx[j]
         if order >= 1:
             hd = hd + rolled * wxd[j]
-        take = jnp.abs(wx[j]) > _MASK_TAU
+        # mask significance from the SAME interval tests warp_shift_mask
+        # uses (not a threshold on wx[j]): guarantees bit-identity with
+        # that entry point even when a tap's |L(t)| sits within f32
+        # rounding of _MASK_TAU (advisor r4)
+        take = _sig_lanczos(du - dx)
         inner = inner | jnp.where(take, jnp.roll(mask, -dx, axis=1),
                                   0).astype(mask.dtype)
 
@@ -586,7 +470,7 @@ def warp_shift_sep_image_mask(img, mask, u, v, window=4, order=1):
             wrow = wrow - corr * jnp.roll(wsd, -dy, axis=0)
         acc = acc + wy[j] * hrow
         wacc = wacc + wy[j] * wrow
-        take = jnp.abs(wy[j]) > _MASK_TAU
+        take = _sig_lanczos(dv - dy)
         macc = macc | jnp.where(take, jnp.roll(inner, -dy, axis=0),
                                 0).astype(mask.dtype)
 

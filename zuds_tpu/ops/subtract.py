@@ -266,10 +266,13 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
     # RIDGE_GROWTH^(p+q) on the Jacobi-normalized diagonal: constant and
     # linear variation pass freely, quartic terms need strong evidence.
     # hotpants counters the same instability with ~100 substamps/region.
-    # default growth 8: fixes the r4 realistic-scene region blowup while
-    # staying <1 mmag against the unregularized float64 oracle
-    # (tests/test_parity.py); ZUDS_FIT_RIDGE_GROWTH=0 restores the flat
-    # ridge.
+    # default growth 4 (r5, tests/test_ridge_bias.py sweep): at the
+    # production config (order 4, ~40 stamps/region) growth 8 biased the
+    # B0 photometric field 1.4 mmag vs the unregularized float64 oracle
+    # (quartic penalty 8^4*1e-5 ~ 0.04); growth 4 measures 0.84 mmag
+    # there while still damping the region-edge surface blowup growth
+    # was introduced for (tests/test_night_scene.py guards it).
+    # ZUDS_FIT_RIDGE_GROWTH=0 restores the flat ridge.
     # base 1e-5 (Jacobi-normalized, so 1e-5 of each column's own scale):
     # at 1e-7 the KERNEL-basis block is unpinned when few stamps
     # constrain it — kappa*eps_f32 ~ O(1), and ulp-level input changes
@@ -281,7 +284,7 @@ def fit_kernel(ref, sci, ivar, xs, ys, svalid, basis_gx, basis_gy,
     # directions shift by ~1e-5 relative).
     import os as _os
     base_l = float(_os.environ.get('ZUDS_FIT_RIDGE', '1e-5'))
-    growth = float(_os.environ.get('ZUDS_FIT_RIDGE_GROWTH', '8'))
+    growth = float(_os.environ.get('ZUDS_FIT_RIDGE_GROWTH', '4'))
     t_ord = np.asarray([p + q for p, q in terms], np.float32)
     lam_col = np.full(D, base_l, np.float32)
     if growth > 0:

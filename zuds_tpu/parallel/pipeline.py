@@ -615,11 +615,16 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None,
     grid = pixel_mapping(ref.wcs, sci.wcs, (cfg.height, cfg.width),
                          step=cfg.map_step)
 
-    refdata = np.ascontiguousarray(ref.data).astype('f4')
-    refmask = (np.ascontiguousarray(ref.mask_image.data).astype('i4')
-               if ref.mask_image is not None
-               else np.zeros(refdata.shape, 'i4'))
-    Hs, Ws = refdata.shape
+    Hs, Ws = ref.data.shape
+
+    def _load_ref():
+        # full-frame copies (~76 MB/pair at quadrant scale) — deferred so
+        # a ref_cache hit never pays them (advisor r4)
+        rd = np.ascontiguousarray(ref.data).astype('f4')
+        rm = (np.ascontiguousarray(ref.mask_image.data).astype('i4')
+              if ref.mask_image is not None
+              else np.zeros(rd.shape, 'i4'))
+        return rd, rm
     grid_u, grid_v = np.asarray(grid.u, 'f4'), np.asarray(grid.v, 'f4')
     cov_bounds = np.asarray([SUPPORT - 1, Ws - SUPPORT,
                              SUPPORT - 1, Hs - SUPPORT], 'f4')
@@ -629,7 +634,7 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None,
     dv = grid_v - gy[:, None]
     resid = max(np.abs(du).max(), np.abs(dv).max())
     du0 = dv0 = 0
-    need_embed = refdata.shape != (cfg.height, cfg.width)
+    need_embed = (Hs, Ws) != (cfg.height, cfg.width)
     need_roll = resid > cfg.max_shift or need_embed
     if need_roll:
         du0 = int(round(float(np.median(du))))
@@ -661,25 +666,30 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None,
         mcanvas[:h, :w] = mask[:h, :w]
         return canvas, mcanvas
 
-    if ref_cache is not None:
-        # device-resident transfer cache: upload the UNROLLED reference
-        # once per unique ref; apply the per-pair integer roll on device
-        key = (getattr(ref, 'local_path', None)
-               or getattr(ref, 'basename', None) or id(ref))
-        if key not in ref_cache:
-            cd, cm = _embed(refdata, refmask) if need_embed \
-                else (refdata, refmask)
+    # device-resident transfer cache: upload the UNROLLED reference once
+    # per unique ref; apply the per-pair integer roll on device. Keyed by
+    # local_path ONLY — basename collides across directories and id()
+    # is reused after GC (silent wrong-reference subtraction); with no
+    # stable path the cache is skipped (advisor r4).
+    cache_key = (str(ref.local_path)
+                 if getattr(ref, 'local_path', None) else None)
+    if ref_cache is not None and cache_key is not None:
+        if cache_key not in ref_cache:
+            rd, rm = _load_ref()
+            cd, cm = _embed(rd, rm) if need_embed else (rd, rm)
             if len(ref_cache) >= 4:
                 ref_cache.pop(next(iter(ref_cache)))
-            ref_cache[key] = (jnp.asarray(cd), jnp.asarray(cm))
-        refdata, refmask = ref_cache[key]
+            ref_cache[cache_key] = (jnp.asarray(cd), jnp.asarray(cm))
+        refdata, refmask = ref_cache[cache_key]
         if need_roll:
             refdata = jnp.roll(refdata, (-dv0, -du0), axis=(0, 1))
             refmask = jnp.roll(refmask, (-dv0, -du0), axis=(0, 1))
-    elif need_roll:
-        canvas, mcanvas = _embed(refdata, refmask)
-        refdata = np.roll(canvas, (-dv0, -du0), axis=(0, 1))
-        refmask = np.roll(mcanvas, (-dv0, -du0), axis=(0, 1))
+    else:
+        refdata, refmask = _load_ref()
+        if need_roll:
+            canvas, mcanvas = _embed(refdata, refmask)
+            refdata = np.roll(canvas, (-dv0, -du0), axis=(0, 1))
+            refmask = np.roll(mcanvas, (-dv0, -du0), axis=(0, 1))
     scidata = None
     if getattr(sci, '_catalog', None) is not None:
         xs, ys, valid = _select_stamps(sci, smax=smax)
