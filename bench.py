@@ -298,21 +298,27 @@ def main():
 
     pipe = make_subtract_detect_pipeline(cfg)
 
+    # EVERY timed call gets DISTINCT inputs: the axon tunnel serves
+    # byte-identical repeated device calls from a request cache, so the
+    # r1-r4 two-batch alternation could count cache hits as compute —
+    # the historical 4.4 q/s numbers are not reproducible once the cache
+    # stops serving (r5 finding: 127a102 re-measures at 2.27, exactly
+    # the r4-final number, on identical code).
+    iters = 6
     batches = []
-    for seed in (0, 1):
+    for seed in range(iters + 1):
         args = _synth_inputs(B, H, W, cfg, seed=seed)
         batches.append(tuple(jnp.asarray(a) for a in args))
 
     # compile + warmup
     t0 = time.time()
-    out = pipe(*batches[0])
+    out = pipe(*batches[iters])
     out['diff'].block_until_ready()
     compile_s = time.time() - t0
 
-    iters = 6
     t0 = time.time()
     for i in range(iters):
-        out = pipe(*batches[i % 2])
+        out = pipe(*batches[i])
     out['diff'].block_until_ready()
     elapsed = time.time() - t0
 

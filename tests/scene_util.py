@@ -235,3 +235,106 @@ def write_scene_pair(d, H, W, **kwargs):
     write(ref_path, ref, refm, wcs_ref, 58300.0,
           kwargs.get('seeing_ref', 2.0))
     return sci_path, ref_path, truth
+
+
+def write_scene_night(d, H, W, epochs, seed=11, nstars=800, ngal=120,
+                      ncr=25, seeing_ref=2.0, sat_level=60000.0):
+    """One reference + N dithered science epochs over a shared sky.
+
+    ``epochs``: list of dicts with keys ``dither`` (sci CRPIX offset from
+    the ref grid), ``seeing`` (px FWHM), ``transient`` ((x, y, flux) in
+    that epoch's pixel coords). Content (stars, galaxies, background,
+    detector defects) is defined once in the REFERENCE pixel grid and
+    re-rendered into each epoch's grid through the WCS pair — the
+    structure of a real observing night against one field reference
+    (reference rank loop: zuds scripts/dosub.py:202-211).
+
+    Returns (ref_path, [sci_paths], [truths]).
+    """
+    import os
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    scale = 1.01 / 3600.0
+    wcs_ref = TPVWCS.simple(crval=(150.1, 35.2),
+                            crpix=(W / 2 + 0.5, H / 2 + 0.5),
+                            scale_deg=scale)
+
+    sx = rng.uniform(25, W - 25, nstars)
+    sy = rng.uniform(25, H - 25, nstars)
+    sflux = 10 ** rng.uniform(2.7, 5.3, nstars)
+    gx = rng.uniform(40, W - 40, ngal)
+    gy = rng.uniform(40, H - 40, ngal)
+    gflux = 10 ** rng.uniform(3.2, 4.8, ngal)
+    gre = rng.uniform(2.0, 10.0, ngal)
+    gn = rng.uniform(1.0, 4.0, ngal)
+    gq = rng.uniform(0.3, 1.0, ngal)
+    gpa = rng.uniform(0, np.pi, ngal)
+
+    yg, xg = np.mgrid[0:H, 0:W].astype('f4')
+    bkg = (150.0 + 25.0 * (xg / W) + 18.0 * (yg / H) ** 1.5
+           + 12.0 * ((xg / W - 0.5) ** 2 + (yg / H - 0.5) ** 2))
+    mask_det = np.zeros((H, W), np.uint16)
+    dead_cols = rng.integers(50, W - 50, 4)
+    for c in dead_cols:
+        mask_det[:, c] |= 1 << 0
+    hot = rng.integers(0, H * W, 200)
+    mask_det.ravel()[hot] |= 1 << 3
+
+    def write(path, data, mdata, wcs, mjd, seeing):
+        h = Header()
+        wcs.to_header(h)
+        for k, v in [('MAGZP', 26.3), ('OBSMJD', mjd), ('FIELDID', 679),
+                     ('CCDID', 1), ('QID', 2), ('FILTERID', 2),
+                     ('SATURATE', sat_level), ('SEEING', seeing)]:
+            h.set(k, v)
+        h.set('FILENAME', os.path.basename(path))
+        write_fits(path, [HDU(h, data)])
+        write_fits(path.replace('sciimg', 'mskimg'),
+                   [HDU(h.copy(), mdata.astype(np.uint16))])
+
+    rng_ref = np.random.default_rng(seed + 1)
+    ref = bkg.copy()
+    _gaussian_stars(ref, sx, sy, sflux, seeing_ref / 2.355)
+    _sersic_galaxies(ref, gx, gy, gflux, gre, gn, gq, gpa,
+                     seeing_ref / 2.355)
+    ref += rng_ref.normal(0, 2.0, (H, W)).astype('f4')
+    refm = mask_det.copy()
+    refm[ref > sat_level] |= 1 << 9
+    ref = np.minimum(ref, sat_level).astype('f4')
+    ref = (ref - bkg + 150.0).astype('f4')
+    ref_path = os.path.join(d, 'night_ref_sciimg.fits')
+    write(ref_path, ref, refm, wcs_ref, 58300.0, seeing_ref)
+
+    sci_paths, truths = [], []
+    for k, ep in enumerate(epochs):
+        dx, dy = ep['dither']
+        wcs_k = TPVWCS.simple(crval=(150.1, 35.2),
+                              crpix=(W / 2 + 0.5 + dx, H / 2 + 0.5 + dy),
+                              scale_deg=scale)
+        kx, ky = wcs_k.sky2pix_0(*wcs_ref.pix2sky_0(sx, sy))
+        gxk, gyk = wcs_k.sky2pix_0(*wcs_ref.pix2sky_0(gx, gy))
+        sig = ep['seeing'] / 2.355
+        img = bkg.copy()
+        _gaussian_stars(img, kx, ky, sflux, sig)
+        _sersic_galaxies(img, gxk, gyk, gflux, gre, gn, gq, gpa, sig)
+        tx, ty, tf = ep['transient']
+        _gaussian_stars(img, [tx], [ty], [tf], sig)
+        rng_k = np.random.default_rng(seed + 100 + k)
+        crs = _cosmic_rays(img, rng_k, n=ncr)
+        img += rng_k.normal(0, 5.0, (H, W)).astype('f4')
+        m = mask_det.copy()
+        satpix = img > sat_level
+        m[satpix] |= 1 << 9
+        ys_, xs_ = np.nonzero(satpix)
+        for x, y in zip(xs_, ys_):
+            m[max(0, y - 6):min(H, y + 7), x] |= 1 << 9
+        img = np.minimum(img, sat_level).astype('f4')
+        img[:, dead_cols] = bkg[:, dead_cols] + rng_k.normal(
+            0, 5.0, (H, len(dead_cols))).astype('f4')
+        p = os.path.join(d, f'night_ep{k}_sciimg.fits')
+        write(p, img.astype('f4'), m, wcs_k, 58345.0 + 0.01 * k,
+              ep['seeing'])
+        sci_paths.append(p)
+        truths.append({'transient': ep['transient'], 'crs': crs,
+                       'dither': ep['dither'], 'seeing': ep['seeing']})
+    return ref_path, sci_paths, truths

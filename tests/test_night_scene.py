@@ -101,3 +101,81 @@ def test_overflow_confined(night_results):
     assert clean.sum() > 0.5 * len(data)
     for k in ('OVFPIX', 'OVFDEBLE', 'OVFOBJ'):
         assert k in cat.header
+
+
+# --------------------------------------------------------------------------
+# Multi-epoch recall (VERDICT r4 item 3): a night of >=4 dithered,
+# seeing-varied epochs against ONE reference through the production
+# driver; EVERY frame must recover its planted 30k transient. A miss is
+# a test FAILURE, not a bench footnote (the r4 files-bench shipped
+# detections_per_frame [2,2,0,1,1,1]).
+# --------------------------------------------------------------------------
+
+EPOCHS = [
+    {'dither': (2.1, -1.7), 'seeing': 2.4,
+     'transient': (500.0, 600.0, 30000.0)},
+    {'dither': (-3.4, 2.2), 'seeing': 2.8,
+     'transient': (757.0, 793.0, 30000.0)},     # bench frame-1 analogue
+    {'dither': (0.6, 0.2), 'seeing': 3.2,
+     'transient': (1014.0, 986.0, 30000.0)},    # bench frame-2 analogue
+    {'dither': (5.1, -4.8), 'seeing': 2.6,
+     'transient': (1271.0, 1179.0, 30000.0)},   # bench frame-3 (the r4 miss)
+]
+
+
+@pytest.fixture(scope='module')
+def recall_results(tmp_path_factory):
+    from donight import run_night
+    from zuds_tpu.constants import KERNEL_SPATIAL_ORDER
+    from zuds_tpu.parallel import PipelineConfig
+    from scene_util import write_scene_night
+
+    d = str(tmp_path_factory.mktemp('recall'))
+    ref_path, sci_paths, truths = write_scene_night(d, H, W, EPOCHS)
+    # IDENTICAL config to the night_results fixture: the jitted program
+    # is reused from the in-process cache (one XLA:CPU compile per module)
+    cfg = PipelineConfig(height=H, width=W, ksize=15, stamp=41, smax=384,
+                         order=KERNEL_SPATIAL_ORDER, nreg=3, max_det=4096,
+                         det_cap=1 << 16, deb_cap=1 << 16, interleave=1)
+    results = run_night([f'{p} {ref_path}' for p in sci_paths], batch=1,
+                        ml=False, db=False, cfg=cfg)
+    from zuds_tpu.catalog import PipelineFITSCatalog
+    refstem = os.path.basename(ref_path)[:-5]
+    cats = []
+    for p in sci_paths:
+        stem = os.path.basename(p)[:-5]
+        catp = os.path.join(d, f'sub.{stem}_{refstem}.cat')
+        cats.append(PipelineFITSCatalog.from_file(catp)
+                    if os.path.exists(catp) else None)
+    return results, cats, truths
+
+
+def test_every_epoch_recovers_its_transient(recall_results):
+    """frames_with_detections == pairs, as a hard assertion."""
+    results, cats, truths = recall_results
+    assert len(results) == len(EPOCHS)
+    misses = []
+    for k, ((path, n), cat, truth) in enumerate(
+            zip(results, cats, truths)):
+        assert not isinstance(n, Exception), f'epoch {k}: {n}'
+        assert cat is not None, f'epoch {k}: no catalog written'
+        g = cat.data[cat.data['GOODCUT'] == 1]
+        tx, ty, tf = truth['transient']
+        if len(g) == 0:
+            misses.append((k, 'empty survivor set'))
+            continue
+        dist = np.hypot(g['X_IMAGE'] - (tx + 1), g['Y_IMAGE'] - (ty + 1))
+        if dist.min() >= 1.5:
+            misses.append((k, f'nearest survivor {dist.min():.1f} px'))
+    assert not misses, f'epochs missing their planted transient: {misses}'
+
+
+def test_epoch_catalogs_have_pipeline_provenance(recall_results):
+    """Every epoch ran the BATCHED path (no silent per-pair fallback):
+    from_pipeline stamps the overflow diagnostics; the fallback path
+    does not (the r5 NameError in prepare_frame_inputs was invisible
+    because the fallback silently produced catalogs — this pins it)."""
+    results, cats, truths = recall_results
+    for k, cat in enumerate(cats):
+        for key in ('OVFPIX', 'OVFDEBLE', 'OVFOBJ'):
+            assert key in cat.header, f'epoch {k} lacks {key} (fallback?)'

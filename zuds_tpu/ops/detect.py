@@ -354,6 +354,19 @@ def _segmented_scan(vals, start, combine):
     return out
 
 
+import os as _os
+_DEB_ROUNDS = int(_os.environ.get('ZUDS_DEB_ROUNDS', '6'))
+# Max hook+compress rounds. Label PROPAGATION pays graph-DIAMETER hook
+# rounds in the worst case (pointer jumps compress pointer chains, not
+# graph distance), and on quadrant scenes low-level rows of the biggest
+# component keep drifting for 16+ rounds — but every drift past round ~4
+# is in rows/cells that cannot alter a split decision: the OBJECT output
+# is bit-stable from cap 5 on the production bench batch (r5 sweep:
+# caps {5, 8, 16} all yield identical catalogs; cap 3 differs = the
+# r2-r4 unconverged regime). 6 = stability point + 1 margin; raise via
+# ZUDS_DEB_ROUNDS to re-verify on new scene classes.
+
+
 def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
                    pos_flux_c, thresh_c, nbr_pos, nbr_ok, nlevels, mincont,
                    dbg_stop=None):
@@ -402,35 +415,6 @@ def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
     # number of active levels per pixel (level l active <=> l <= lpix)
     lpix = jnp.sum(active, axis=0)                           # (cap,) 0..L
 
-    # batched level labeling, initialized at the watershed peaks: a pixel's
-    # cell peak is active whenever the pixel is (peak >= pixel >= t_l), so
-    # the init is valid and hooks only need to merge adjacent CELLS
-    lab0 = jnp.where(active, cellpos[None], posidx[None])
-    # per-edge LEVEL WEIGHT instead of per-level edge masks: activity is
-    # monotone (active at l <=> l < lpix), so edge (p, q) is valid at
-    # level l <=> l < min(lpix_p, lpix_q). One (8, cap) gather of lpix
-    # replaces the (L, 8, cap) nbr_act take + (8, L, cap) ok stack that
-    # were ~1/3 of this stage's gather volume (deb_lab measured 174.8 ms
-    # of the 485 ms frame at deb_cap=64k, tools/bisect_detect_in_pipe r4).
-    w_edge = jnp.where(nbr_ok, jnp.minimum(lpix[None], lpix[nbr_pos]), 0)
-    lev3 = jnp.arange(L, dtype=lpix.dtype)[:, None, None]    # (L, 1, 1)
-
-    # fully unrolled hook+compress (fori/while carries copy every (L, cap)
-    # operand across the loop boundary — ~85 ms/step in device traces);
-    # 3 rounds suffice with the cell-peak init (the per-level component
-    # graph over CELLS has tiny diameter). The 8 direction gathers batch
-    # into ONE (L, 8, cap) take per round.
-    labp = lab0
-    for _ in range(3):
-        cand = jnp.take(labp, nbr_pos, axis=1)           # (L, 8, cap)
-        ln = jnp.minimum(labp, jnp.min(
-            jnp.where(lev3 < w_edge[None], cand, labp[:, None]), axis=1))
-        for _c in range(3):
-            ln = jnp.minimum(ln, jnp.take_along_axis(ln, ln, axis=1))
-        labp = ln                                            # (L, cap) pos
-    if dbg_stop == 'deb_lab':
-        return jnp.where(pok, pidx[labp[0]], INT_MAX)
-
     # ---- compact the watershed cells --------------------------------------
     ccap = min(cap, 8192)
     is_peak = pok & (cellpos == posidx)
@@ -441,6 +425,99 @@ def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
         jnp.arange(ccap, dtype=jnp.int32))
     cellid = invcell[cellpos]                                # (cap,)
 
+    # per-edge LEVEL WEIGHT: activity is monotone (active at l <=>
+    # l < lpix), so pixel edge (p, q) is valid at level l <=>
+    # l < min(lpix_p, lpix_q).
+    w_edge = jnp.where(nbr_ok, jnp.minimum(lpix[None], lpix[nbr_pos]), 0)
+    if dbg_stop == 'deb_edges':
+        # sizing probe: how much genuinely CROSS-CELL edge work exists
+        cross = nbr_ok & (cellpos[None] != cellpos[nbr_pos]) & (w_edge > 0)
+        return jnp.stack([
+            jnp.sum(pok.astype(jnp.int32)),                    # live pixels
+            jnp.sum(is_peak.astype(jnp.int32)),                # cells
+            jnp.sum(cross.astype(jnp.int32)),                  # cross edges
+            jnp.sum((w_edge > 0).astype(jnp.int32)),           # active edges
+        ])
+
+    # ---- batched level labeling in CELL space -----------------------------
+    # The r2-r4 form iterated hook+compress on (L, cap) PIXEL labels with
+    # a (L, 8, cap) neighbor take per round — 174 ms/frame at production
+    # caps (tools/bisect_detect_in_pipe r5), 40% of the whole chain. But
+    # the init already assigns every active pixel its watershed-cell peak,
+    # so the labeling only ever merges CELLS: the equivalent quotient
+    # graph has ~2.5k cells and ~28k cross-cell edges on a busy quadrant
+    # (deb_edges probe r5) against 65k pixels x 8 directions x 31 levels
+    # of gather volume. Build the cross-cell edge list once (compact +
+    # one 2-op sort), then iterate on (L, ccap) labels with one
+    # (L, ecap) gather + segmented min-scan per round — ~25x less
+    # gather traffic, identical fixpoint.
+    c_dst = cellid[nbr_pos]                                  # (8, cap)
+    cross = (w_edge > 0) & (cellid[None] != c_dst)
+    ecap = cap
+    ne = jnp.sum(cross.astype(jnp.int32))
+    eidx = compact_indices(cross.ravel(), ecap, 8 * cap - 1)
+    eok = jnp.arange(ecap) < jnp.minimum(ne, ecap)
+    src_flat = jnp.broadcast_to(cellid[None], (8, cap)).ravel()
+    # padded slots: src = ccap-1 with weight 0 (inactive at every level)
+    e_src = jnp.where(eok, src_flat[eidx], ccap - 1)
+    e_dst = jnp.where(eok, c_dst.ravel()[eidx], ccap - 1)
+    e_w = jnp.where(eok, w_edge.ravel()[eidx], 0)
+    # dropped edges mean missed merges (over-splitting), never a crash;
+    # surfaced in the deblend overflow diagnostic (no silent caps)
+    edge_overflow = ne - jnp.minimum(ne, ecap)
+
+    e_src_s, perm = jax.lax.sort(
+        (e_src, jnp.arange(ecap, dtype=jnp.int32)), num_keys=1)
+    e_dst_s = e_dst[perm]
+    e_w_s = e_w[perm]
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, bool), e_src_s[1:] != e_src_s[:-1]])
+    # last edge position of each src cell's run (ecap = padded INF column
+    # for cells with no edges); duplicate-index scatter-max is
+    # order-independent
+    cell_last = jnp.full(ccap, -1, jnp.int32).at[e_src_s].max(
+        jnp.arange(ecap, dtype=jnp.int32))
+    cell_last = jnp.where(cell_last < 0, ecap, cell_last)
+
+    lev = jnp.arange(L, dtype=jnp.int32)[:, None]            # (L, 1)
+    cidx = jnp.arange(ccap, dtype=jnp.int32)
+    infc = jnp.int32(ccap)
+    startL = jnp.broadcast_to(seg_start[None], (L, ecap))
+
+    def _round(lab):
+        cand = jnp.take(lab, e_dst_s, axis=1)                # (L, ecap)
+        val = jnp.where(lev < e_w_s[None], cand, infc)
+        m = _segmented_scan(val, startL, jnp.minimum)
+        mpad = jnp.concatenate([m, jnp.full((L, 1), infc)], axis=1)
+        lab = jnp.minimum(lab, jnp.take(mpad, cell_last, axis=1))
+        # 3 pointer jumps: on this toolchain each (L, ccap) jump is
+        # LATENCY-bound, not size-bound — a 13-jump full-compression
+        # variant measured 761 ms/frame whole-program vs ~310 (r5 A/B);
+        # more hook rounds with shallow compression win.
+        for _c in range(3):
+            lab = jnp.minimum(lab, jnp.take_along_axis(lab, lab, axis=1))
+        return lab
+
+    # Iterate with an early fixpoint exit, capped at _DEB_ROUNDS (see the
+    # cap's comment above for why a hard fixpoint is not the target).
+    # The old pixel-space form's fixed 3 rounds was object-level
+    # unconverged on busy scenes (r5: 89 vs the stable 102 objects on
+    # the quadrant bench batch; 379 vs 376 on a 1024^2 CPU blend field).
+    def _cond(state):
+        _, changed, i = state
+        return changed & (i < _DEB_ROUNDS)
+
+    def _body(state):
+        lab, _, i = state
+        ln = _round(lab)
+        return ln, jnp.any(ln != lab), i + 1
+
+    lab0 = jnp.broadcast_to(cidx[None], (L, ccap))
+    bl, _, _ = jax.lax.while_loop(
+        _cond, _body, (_round(lab0), jnp.array(True), jnp.int32(1)))
+    if dbg_stop == 'deb_lab':
+        return jnp.where(pok, pidx[cpos[bl[0]]][cellid], INT_MAX)
+
     # per-cell flux above each level: bucket by the pixel's top active
     # level, then suffix-sum along the level axis
     bucket = jax.ops.segment_sum(
@@ -450,14 +527,12 @@ def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
     above = jnp.cumsum(bucket[:, ::-1], axis=1)[:, ::-1]     # (ccap, L+2…)
     # above[c, l] = cell flux from pixels active at level >= l
 
-    lev = jnp.arange(L, dtype=jnp.int32)[:, None]            # (L, 1)
-    bl = jnp.take(labp, cpos, axis=1)                        # (L, ccap) pos
     act_cell = jnp.take(active, cpos, axis=1) & cok[None]
     cell_above = above[:, 1:L + 1].T                         # (L, ccap)
     subflux = jax.ops.segment_sum(
         jnp.where(act_cell, cell_above, 0.0).ravel(),
-        (lev * cap + bl).ravel(),
-        num_segments=L * cap).reshape(L, cap)
+        (lev * ccap + bl).ravel(),
+        num_segments=L * ccap).reshape(L, ccap)
     sf_at_cell = jnp.take_along_axis(subflux, bl, axis=1)    # (L, ccap)
     if dbg_stop == 'deb_seg':
         return jnp.where(pok, (pidx + sf_at_cell[0][cellid]
@@ -465,20 +540,24 @@ def _deblend_exact(pidx, pok, comppos, cellpos, filt_c,
     F0_cell = F0[comppos][cpos]
     sig = act_cell & (sf_at_cell >= mincont * F0_cell[None])
 
-    is_branch_root = act_cell & (bl == cpos[None])
-    parent = jnp.concatenate([comppos[cpos][None], bl[:-1]], axis=0)
+    is_branch_root = act_cell & (bl == cidx[None])
+    # level-0 parent: the base component's identity, keyed by the CELL of
+    # its root pixel (injective — a component's root lies in one of its
+    # own cells)
+    parent = jnp.concatenate([cellid[comppos[cpos]][None], bl[:-1]],
+                             axis=0)
     nsig = jax.ops.segment_sum(
         jnp.where(is_branch_root & sig, 1, 0).ravel(),
-        (lev * cap + parent).ravel(),
-        num_segments=L * cap).reshape(L, cap)
+        (lev * ccap + parent).ravel(),
+        num_segments=L * ccap).reshape(L, ccap)
     split = sig & (jnp.take_along_axis(nsig, parent, axis=1) >= 2)
 
     has_split = jnp.any(split, axis=0)                       # (ccap,)
     deepest = (L - 1) - jnp.argmax(split[::-1], axis=0)
     bl_deep = jnp.take_along_axis(bl, deepest[None], axis=0)[0]
-    objdeep_cell = jnp.where(has_split, bl_deep, comppos[cpos])
+    objdeep_cell = jnp.where(has_split, cpos[bl_deep], comppos[cpos])
     objdeep_pos = objdeep_cell[cellid]                       # (cap,)
-    return jnp.where(pok, pidx[objdeep_pos], INT_MAX)
+    return jnp.where(pok, pidx[objdeep_pos], INT_MAX), edge_overflow
 
 
 DETECTION_FIELDS = [
@@ -710,9 +789,13 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
                                   thresh_c[idx2], nbr_pos2, nbr_ok2,
                                   DEBLEND_NTHRESH, DEBLEND_MINCONT,
                                   dbg_stop=dbg_stop_after if dbg_stop_after
-                                  in ('deb_lab', 'deb_seg') else None)
+                                  in ('deb_lab', 'deb_seg', 'deb_edges')
+                                  else None)
+        if dbg_stop_after == 'deb_edges':
+            return {'dbg': objdeep2}
         if dbg_stop_after in ('deb_lab', 'deb_seg'):
             return {'dbg': jnp.sum(objdeep2)}
+        objdeep2, edge_ovf = objdeep2
         # scatter through a cap+1 buffer so padded idx2 entries land in a
         # discard slot instead of clobbering a real pixel's key
         key_full = jnp.zeros(cap + 1, jnp.int32).at[
@@ -727,7 +810,10 @@ def detect_sources(bkgsub, rms, mask=None, weight_ok=None,
         rank = prefix_count(multi) - 1
         in2 = multi & (rank < cap2)
         deb_ovf = multi & ~in2
-        deblend_overflow = nmulti - jnp.minimum(nmulti, cap2)
+        # pixels beyond deb_cap + cross-cell edges beyond the edge-list
+        # capacity: both mean the tree under-merged somewhere (no silent
+        # caps — surfaced via OVFDEBLE)
+        deblend_overflow = nmulti - jnp.minimum(nmulti, cap2) + edge_ovf
         key_c = jnp.where(in2, key_full, lab_c)
         key_c = jnp.where(pok, key_c, H * W - 1)
     else:

@@ -277,6 +277,8 @@ def make_subtract_detect_pipeline(cfg: PipelineConfig, mesh=None,
                              deb_cap=(cfg.deb_cap or None),
                              dbg_stop_after=cfg.det_dbg_stop_after)
         if cfg.det_dbg_stop_after is not None:
+            if det['dbg'].ndim > 0:        # value probe (e.g. deb_edges)
+                return {'dbg': det['dbg']}
             return {'diff': diff + det['dbg'].astype(jnp.float32)}
         if cfg.dbg_stop_after == 'detect':
             return {'diff': diff + det['n'].astype(jnp.float32)}
