@@ -37,7 +37,7 @@ def _write_bench_frames(d, npairs, H, W, seed=7):
     # every bright star that no real frame would show.
     see_ref, see_sci = 2.0, 2.8
     marker = os.path.join(d, f'.done_{npairs}_{H}x{W}_{seed}_'
-                             f'{see_ref}_{see_sci}')
+                             f'{see_ref}_{see_sci}_tpv')
     ref_path = os.path.join(d, 'bench_ref_sciimg.fits')
     paths = [os.path.join(d, f'bench_n{i}_sciimg.fits')
              for i in range(npairs)]
@@ -86,12 +86,29 @@ def _write_bench_frames(d, npairs, H, W, seed=7):
         write_fits(path.replace('sciimg', 'mskimg'),
                    [HDU(h.copy(), np.zeros(data.shape, np.uint16))])
 
-    wcs_sci = TPVWCS.simple(crval=(150.1, 35.2),
-                            crpix=(W / 2 + 0.5, H / 2 + 0.5),
-                            scale_deg=scale)
-    wcs_ref = TPVWCS.simple(crval=(150.1, 35.2),
-                            crpix=(W / 2 + 2.1, H / 2 - 1.7),
-                            scale_deg=scale)
+    # REAL ZTF degree-4 TPV distortion (captured quadrant header) on the
+    # science epochs so the ingest path pays the honest WCS inverse cost;
+    # ref = simple WCS (coadd products carry linear WCS headers)
+    import json as _json
+    from zuds_tpu.fits import Header as _H
+    real = _json.load(open(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'tests', 'data',
+        'ztf_real_header.json')))
+    hh = _H()
+    for k, v in {**real['wcs'], **real['meta']}.items():
+        hh.set(k, v)
+    wcs_sci = TPVWCS.from_header(hh)
+    wcs_sci.crval[:] = (150.1, 35.2)
+    wcs_sci.crpix[:] = (W / 2 + 0.5, H / 2 + 0.5)
+    # ref: same camera orientation (CD), LINEAR PV (coadd product WCS),
+    # dithered CRPIX
+    pv_lin1 = np.zeros_like(wcs_sci.pv1)
+    pv_lin1[1] = 1.0
+    pv_lin2 = np.zeros_like(wcs_sci.pv2)
+    pv_lin2[1] = 1.0
+    wcs_ref = TPVWCS(np.asarray([W / 2 + 2.1, H / 2 - 1.7]),
+                     wcs_sci.crval.copy(), wcs_sci.cd.copy(),
+                     pv_lin1, pv_lin2)
     ra, dec = wcs_sci.pix2sky_0(xs, ys)
     rx, ry = wcs_ref.sky2pix_0(ra, dec)
     write(ref_path, render(rx, ry, see_ref), wcs_ref, 58300.0, see_ref)

@@ -53,12 +53,19 @@ class NightLoader:
 
     def __init__(self, workers=4):
         self._pf = None
+        self._pool = None
         try:
             from zuds_tpu.fits.native import available, build, Prefetcher
             if not available():
                 build()
             if available():
                 self._pf = Prefetcher(workers=workers)
+                # the native pool reads + byteswaps off-thread, but the
+                # final pixel copy-out (_unpack) measured ~0.35 s/file on
+                # the MAIN thread (r5 profile) — run it in python worker
+                # threads too (ctypes calls release the GIL)
+                import concurrent.futures as _cf
+                self._pool = _cf.ThreadPoolExecutor(max_workers=2)
         except Exception:
             self._pf = None
 
@@ -68,17 +75,20 @@ class NightLoader:
 
     def submit(self, path):
         if self._pf is not None:
-            return self._pf.submit(path)
+            t = self._pf.submit(path)
+            return self._pool.submit(self._pf.get, t)
         return path
 
     def get(self, ticket):
         if self._pf is not None:
-            return self._pf.get(ticket)
+            return ticket.result()
         from zuds_tpu.fits.io import read_fits
         hdus = read_fits(ticket)
         return next(h for h in hdus if h.data is not None)
 
     def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
         if self._pf is not None:
             self._pf.close()
 
@@ -116,7 +126,7 @@ def _image_from_hdu(cls, path, hdu, mask_hdu=None):
     return obj
 
 
-def _load_pair(loader, tickets, sci_path, ref_path):
+def _load_pair(loader, tickets, sci_path, ref_path, ref_objs=None):
     from zuds_tpu.image import ScienceImage
     from zuds_tpu.coadd import ReferenceImage
 
@@ -124,9 +134,23 @@ def _load_pair(loader, tickets, sci_path, ref_path):
     sci = _image_from_hdu(
         ScienceImage, sci_path, loader.get(t_sci),
         loader.get(t_scimask) if t_scimask is not None else None)
+    # a night reuses one reference per field across many science frames
+    # (reference rank loop, scripts/dosub.py:202-211): decode it once —
+    # re-reading + byteswapping ~76 MB per pair measured ~0.9 s/pair of
+    # the host path (r5 profile)
+    if ref_objs is not None and ref_path in ref_objs:
+        return sci, ref_objs[ref_path]
+    if t_ref is None:      # dedup'd at submit but evicted since: re-read
+        t_ref = loader.submit(ref_path)
+        rm = _sibling_mask_path(ref_path)
+        t_refmask = loader.submit(rm) if rm else None
     ref = _image_from_hdu(
         ReferenceImage, ref_path, loader.get(t_ref),
         loader.get(t_refmask) if t_refmask is not None else None)
+    if ref_objs is not None:
+        if len(ref_objs) >= 4:
+            ref_objs.pop(next(iter(ref_objs)))
+        ref_objs[ref_path] = ref
     return sci, ref
 
 
@@ -263,13 +287,18 @@ def run_night(work, batch=4, ml=True, db=True, cfg=None, loader=None,
         # submit the whole window up front: the prefetch pool overlaps
         # disk reads + byteswap with device compute across batches
         tickets = []
+        seen_refs = set()
         for sci_path, ref_path in work:
             sm = _sibling_mask_path(sci_path)
             rm = _sibling_mask_path(ref_path)
+            # each distinct reference is read + decoded ONCE (_load_pair
+            # ref_objs cache); repeat pairs skip the submit entirely
+            first = ref_path not in seen_refs
+            seen_refs.add(ref_path)
             tickets.append((loader.submit(sci_path),
                             loader.submit(sm) if sm else None,
-                            loader.submit(ref_path),
-                            loader.submit(rm) if rm else None))
+                            loader.submit(ref_path) if first else None,
+                            loader.submit(rm) if (rm and first) else None))
 
         # double-buffered main loop: batch k+1 is prepped and DISPATCHED
         # before batch k's outputs are touched, so host catalog/commit
@@ -279,6 +308,7 @@ def run_night(work, batch=4, ml=True, db=True, cfg=None, loader=None,
         # ref per field across many sci frames; upload it once (r4:
         # bench --files was host-link transfer bound)
         ref_cache = {}
+        ref_objs = {}
         timing = os.environ.get('ZUDS_NIGHT_TIMING')
         for b0 in range(0, len(work), batch):
             chunk = list(range(b0, min(b0 + batch, len(work))))
@@ -288,7 +318,7 @@ def run_night(work, batch=4, ml=True, db=True, cfg=None, loader=None,
                 sci_path, ref_path = work[i]
                 try:
                     sci, ref = _load_pair(loader, tickets[i], sci_path,
-                                          ref_path)
+                                          ref_path, ref_objs=ref_objs)
                     if sci.data.shape != (cfg.height, cfg.width):
                         raise ValueError(
                             f'shape {sci.data.shape} != pipeline bucket')

@@ -104,7 +104,8 @@ def _unpack(lib, handle, hlen, dlen, bitpix, n1, n2, bscale, bzero):
     arr = arr.reshape(n2.value, n1.value)
     # unsigned conventions (same rules as the python codec)
     if bscale.value == 1.0 and bzero.value == 32768 and bitpix.value == 16:
-        arr = (arr.astype(np.int32) + 32768).astype(np.uint16)
+        # single-copy: uint16 wraparound add == the int32 detour exactly
+        arr = arr.view(np.uint16) + np.uint16(32768)
     elif bscale.value == 1.0 and bzero.value == 2147483648 \
             and bitpix.value == 32:
         arr = (arr.astype(np.int64) + 2147483648).astype(np.uint32)

@@ -619,10 +619,16 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None,
 
     Hs, Ws = ref.data.shape
 
+    def _as_f4(a):
+        # no-copy when the decoder already produced native f4 (astype
+        # always copies; these are 37 MB frames — r5 profile)
+        a = np.ascontiguousarray(a)
+        return a if a.dtype == np.float32 else a.astype('f4')
+
     def _load_ref():
         # full-frame copies (~76 MB/pair at quadrant scale) — deferred so
         # a ref_cache hit never pays them (advisor r4)
-        rd = np.ascontiguousarray(ref.data).astype('f4')
+        rd = _as_f4(ref.data)
         rm = (np.ascontiguousarray(ref.mask_image.data).astype('i4')
               if ref.mask_image is not None
               else np.zeros(rd.shape, 'i4'))
@@ -696,15 +702,16 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None,
     if getattr(sci, '_catalog', None) is not None:
         xs, ys, valid = _select_stamps(sci, smax=smax)
     else:
-        scidata = jnp.asarray(np.ascontiguousarray(sci.data)
-                              .astype(np.float32))
+        scidata = jnp.asarray(_as_f4(sci.data))
         sat = float(sci.header.get('SATURATE', 5e4) or 5e4)
         xs_j, ys_j, valid_j = select_stamps_device(
             scidata, smax=smax, nreg=cfg.nreg, sat_level=sat,
             margin=cfg.stamp // 2 + 1)
-        xs = np.asarray(xs_j, dtype='f4')
-        ys = np.asarray(ys_j, dtype='f4')
-        valid = np.asarray(valid_j)
+        # stay ON DEVICE: each np.asarray here is a blocking tunnel pull
+        # that also waits out the selector compute (~1.2 s/pair measured,
+        # r5 profile); the night driver jnp.stack's these straight into
+        # the batched program
+        xs, ys, valid = xs_j, ys_j, valid_j
     if 'SEEING' not in sci.header:
         if scidata is not None:
             see = float(seeing_from_stamps(
@@ -720,15 +727,22 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None,
         # the stamp selector already shipped sci to the device — reuse it
         sci_out = scidata
     else:
-        sci_out = np.ascontiguousarray(sci.data).astype('f4')
-    smask = (np.ascontiguousarray(sci.mask_image.data).astype('i4')
-             if sci.mask_image is not None
-             else np.zeros((cfg.height, cfg.width), 'i4'))
-    if ref_cache is not None and smask.min() >= 0 and smask.max() < (1 << 16):
-        # ship the science bitmask as u16 (raw IPAC masks are 16-bit;
-        # bits 16/17 only appear on device or in coadd REF products) and
-        # widen on device — halves the mask's host-link bytes
-        smask = jnp.asarray(smask.astype(np.uint16)).astype(jnp.int32)
+        sci_out = _as_f4(sci.data)
+    mraw = (np.ascontiguousarray(sci.mask_image.data)
+            if sci.mask_image is not None else None)
+    if ref_cache is not None and mraw is not None \
+            and mraw.dtype == np.uint16:
+        # ship the raw 16-bit IPAC bitmask AS-IS and widen on device
+        # (bits 16/17 only appear on device or in coadd REF products) —
+        # halves the host-link bytes AND skips two full-frame host
+        # conversions + a min/max scan (r5 profile)
+        smask = jnp.asarray(mraw).astype(jnp.int32)
+    else:
+        smask = (mraw.astype('i4') if mraw is not None
+                 else np.zeros((cfg.height, cfg.width), 'i4'))
+        if ref_cache is not None and smask.min() >= 0 \
+                and smask.max() < (1 << 16):
+            smask = jnp.asarray(smask.astype(np.uint16)).astype(jnp.int32)
     return {
         'sci': sci_out,
         'sci_mask': smask,
@@ -736,7 +750,11 @@ def prepare_frame_inputs(sci, ref, cfg: PipelineConfig, smax=None,
         'ref_mask': refmask,
         'grid_u': grid_u, 'grid_v': grid_v,
         'stamp_x': xs, 'stamp_y': ys, 'stamp_valid': valid,
-        'basis_gx': np.asarray(basis.gx), 'basis_gy': np.asarray(basis.gy),
-        'basis_sums': np.asarray(basis.sums), 'b0': basis.b0_2d,
+        # basis tables are already device arrays (KernelBasis __init__):
+        # np.asarray here would both pull them AND sync the device queue,
+        # stalling the double-buffered batch overlap (~0.4 s/pair, r5
+        # profile) — pass through
+        'basis_gx': basis.gx, 'basis_gy': basis.gy,
+        'basis_sums': basis.sums, 'b0': basis.b0_2d,
         'cov_bounds': cov_bounds,
     }

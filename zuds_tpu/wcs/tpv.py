@@ -50,13 +50,28 @@ _YPOW = np.array([t[1] for t in _ORDERED], dtype=np.int64)
 _RPOW = np.array([t[2] for t in _ORDERED], dtype=np.int64)
 
 
+_MAXPOW = int(max(_XPOW.max(), _YPOW.max(), _RPOW.max()))
+
+
+def _pow_table(v):
+    """(..., _MAXPOW+1) cumulative powers v**0..v**max by repeated
+    multiplication — numpy's generic float**int-array pow is ~20x slower
+    and dominated pixel_mapping's Newton solve (r5 profile: ~1.9 s/pair
+    of the night driver's host path)."""
+    out = np.empty(v.shape + (_MAXPOW + 1,), dtype=np.float64)
+    out[..., 0] = 1.0
+    for p in range(1, _MAXPOW + 1):
+        out[..., p] = out[..., p - 1] * v
+    return out
+
+
 def tpv_terms(x, y):
     """All 40 TPV monomials at (x, y): shape x.shape + (40,)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     r = np.sqrt(x * x + y * y)
-    return (x[..., None] ** _XPOW) * (y[..., None] ** _YPOW) \
-        * (r[..., None] ** _RPOW)
+    return (_pow_table(x)[..., _XPOW] * _pow_table(y)[..., _YPOW]
+            * _pow_table(r)[..., _RPOW])
 
 
 def _tpv_deriv_terms(x, y):
@@ -65,13 +80,15 @@ def _tpv_deriv_terms(x, y):
     y = np.asarray(y, dtype=np.float64)
     r = np.sqrt(x * x + y * y)
     rs = np.where(r == 0, 1.0, r)
-    with np.errstate(divide='ignore', invalid='ignore'):
-        xp = x[..., None] ** _XPOW
-        yp = y[..., None] ** _YPOW
-        rp = r[..., None] ** _RPOW
-        xp1 = np.where(_XPOW > 0, x[..., None] ** np.maximum(_XPOW - 1, 0), 0.0)
-        yp1 = np.where(_YPOW > 0, y[..., None] ** np.maximum(_YPOW - 1, 0), 0.0)
-        rp1 = np.where(_RPOW > 0, r[..., None] ** np.maximum(_RPOW - 1, 0), 0.0)
+    xt = _pow_table(x)
+    yt = _pow_table(y)
+    rt = _pow_table(r)
+    xp = xt[..., _XPOW]
+    yp = yt[..., _YPOW]
+    rp = rt[..., _RPOW]
+    xp1 = np.where(_XPOW > 0, xt[..., np.maximum(_XPOW - 1, 0)], 0.0)
+    yp1 = np.where(_YPOW > 0, yt[..., np.maximum(_YPOW - 1, 0)], 0.0)
+    rp1 = np.where(_RPOW > 0, rt[..., np.maximum(_RPOW - 1, 0)], 0.0)
     drdx = (x / rs)[..., None]
     drdy = (y / rs)[..., None]
     ddx = _XPOW * xp1 * yp * rp + xp * yp * _RPOW * rp1 * drdx
@@ -209,24 +226,47 @@ class TPVWCS:
         xi_t, eta_t = _tan_project(ra, dec, self.crval[0], self.crval[1])
         a1 = self.pv1[1] if self.pv1[1] != 0 else 1.0
         b1 = self.pv2[1] if self.pv2[1] != 0 else 1.0
-        xi = (xi_t - self.pv1[0]) / a1
-        eta = (eta_t - self.pv2[0]) / b1
-        clamp = 0.1
-        for _ in range(iters):
-            fx = tpv_terms(xi, eta) @ self.pv1
-            fy = tpv_terms(eta, xi) @ self.pv2
-            d1x, d1y = _tpv_deriv_terms(xi, eta)
-            d2x, d2y = _tpv_deriv_terms(eta, xi)
-            j11 = d1x @ self.pv1          # dfx/dxi
-            j12 = d1y @ self.pv1          # dfx/deta
-            j21 = d2y @ self.pv2          # dfy/dxi  (pv2 leading axis is eta)
-            j22 = d2x @ self.pv2          # dfy/deta
-            det = j11 * j22 - j12 * j21
-            det = np.where(np.abs(det) < 1e-300, 1.0, det)
-            rx = fx - xi_t
-            ry = fy - eta_t
-            xi = xi - np.clip((j22 * rx - j12 * ry) / det, -clamp, clamp)
-            eta = eta - np.clip((-j21 * rx + j11 * ry) / det, -clamp, clamp)
+        # LINEAR fast path: when only the constant + linear PV terms are
+        # set (TPVWCS.simple, typical coadd product WCS), the inverse is
+        # closed form — skip the Newton machinery entirely
+        lin_mask = np.zeros(NUM_PV, bool)
+        lin_mask[[0, 1, 2]] = True   # 1, x, y
+        if (not self.pv1[~lin_mask].any() and not self.pv2[~lin_mask].any()):
+            # xi_t = p0 + p1*xi + p2*eta ; eta_t = q0 + q1*eta + q2*xi
+            p0, p1, p2 = self.pv1[0], a1, self.pv1[2]
+            q0, q1, q2 = self.pv2[0], b1, self.pv2[2]
+            det0 = p1 * q1 - p2 * q2
+            det0 = det0 if abs(det0) > 1e-300 else 1.0
+            rx = np.asarray(xi_t, np.float64) - p0
+            ry = np.asarray(eta_t, np.float64) - q0
+            xi = (q1 * rx - p2 * ry) / det0
+            eta = (p1 * ry - q2 * rx) / det0
+        else:
+            xi = (xi_t - self.pv1[0]) / a1
+            eta = (eta_t - self.pv2[0]) / b1
+            clamp = 0.1
+            for _ in range(iters):
+                fx = tpv_terms(xi, eta) @ self.pv1
+                fy = tpv_terms(eta, xi) @ self.pv2
+                d1x, d1y = _tpv_deriv_terms(xi, eta)
+                d2x, d2y = _tpv_deriv_terms(eta, xi)
+                j11 = d1x @ self.pv1      # dfx/dxi
+                j12 = d1y @ self.pv1      # dfx/deta
+                j21 = d2y @ self.pv2      # dfy/dxi (pv2 leading axis: eta)
+                j22 = d2x @ self.pv2      # dfy/deta
+                det = j11 * j22 - j12 * j21
+                det = np.where(np.abs(det) < 1e-300, 1.0, det)
+                rx = fx - xi_t
+                ry = fy - eta_t
+                sx = np.clip((j22 * rx - j12 * ry) / det, -clamp, clamp)
+                sy = np.clip((-j21 * rx + j11 * ry) / det, -clamp, clamp)
+                xi = xi - sx
+                eta = eta - sy
+                # converged to float64 resolution (<1e-12 deg ~ 4e-9 px):
+                # ZTF-scale solves exit after 3-4 of the 8 allowed steps
+                if (np.abs(sx).max() if np.size(sx) else 0.0) < 1e-12 and \
+                        (np.abs(sy).max() if np.size(sy) else 0.0) < 1e-12:
+                    break
         cdinv = np.linalg.inv(self.cd)
         dx = cdinv[0, 0] * xi + cdinv[0, 1] * eta
         dy = cdinv[1, 0] * xi + cdinv[1, 1] * eta
