@@ -81,11 +81,16 @@ def _coadd_fused(images, wcs, H, W, subtract_back=True):
         _COADD_PIPES[key] = pipe
 
     def stack(k, pad):
-        a = np.stack([e[k] for e in eps])
+        # jnp.stack, not np.stack: 'img'/'mask' are device-resident
+        # (prepare_epoch_inputs embeds+rolls on device) — np.stack would
+        # pull them back over the host link (r5 profile)
+        parts = [jnp.asarray(e[k]) for e in eps]
+        a = jnp.stack(parts)
         if Nb > N:
-            a = np.concatenate(
-                [a, np.repeat(a[-1:], Nb - N, axis=0) * 0 + pad], axis=0)
-        return jnp.asarray(a)
+            a = jnp.concatenate(
+                [a, jnp.full((Nb - N,) + a.shape[1:], pad, a.dtype)],
+                axis=0)
+        return a
 
     valid = np.zeros(Nb, 'f4')
     valid[:N] = 1.0

@@ -505,71 +505,75 @@ def make_coadd_pipeline(cfg: PipelineConfig, nepochs: int,
     return jax.jit(run)
 
 
-def _embed_roll(arrs, grid_u, grid_v, cfg, fill=0.0):
-    """Host integer pre-roll of epoch arrays into the (H, W) pipeline
-    canvas so the device warp's residual fits the ``max_shift`` bucket
-    (plan_warp decomposition — shared by prepare_frame_inputs and
-    prepare_epoch_inputs). Returns (rolled_arrays, grid_u, grid_v,
-    cov_bounds); raises ValueError when the residual exceeds the bucket.
-    """
-    from ..ops.resample import SUPPORT
-
-    Hs, Ws = arrs[0].shape
-    cov_bounds = np.asarray([SUPPORT - 1, Ws - SUPPORT,
-                             SUPPORT - 1, Hs - SUPPORT], 'f4')
-    gx = np.arange(grid_u.shape[1], dtype='f4') * cfg.map_step
-    gy = np.arange(grid_v.shape[0], dtype='f4') * cfg.map_step
-    du = grid_u - gx[None, :]
-    dv = grid_v - gy[:, None]
-    resid = max(np.abs(du).max(), np.abs(dv).max())
-    if resid <= cfg.max_shift and arrs[0].shape == (cfg.height, cfg.width):
-        return list(arrs), grid_u, grid_v, cov_bounds
-    du0 = int(round(float(np.median(du))))
-    dv0 = int(round(float(np.median(dv))))
-    resid2 = max(np.abs(du - du0).max(), np.abs(dv - dv0).max())
-    if resid2 > cfg.max_shift:
-        raise ValueError(
-            f'mapping residual {resid2:.2f} exceeds the '
-            f'max_shift={cfg.max_shift} bucket; per-pair fallback')
-    out = []
-    h, w = min(Hs, cfg.height), min(Ws, cfg.width)
-    for a in arrs:
-        canvas = np.full((cfg.height, cfg.width), fill, a.dtype) \
-            if fill else np.zeros((cfg.height, cfg.width), a.dtype)
-        canvas[:h, :w] = a[:h, :w]
-        out.append(np.roll(canvas, (-dv0, -du0), axis=(0, 1)))
-    return (out, grid_u - np.float32(du0), grid_v - np.float32(dv0),
-            cov_bounds - np.asarray([du0, du0, dv0, dv0], 'f4'))
+@partial(jax.jit, static_argnames=('H', 'W', 'bit'))
+def _embed_roll_device(img, mask, H, W, dv0, du0, bit):
+    """Embed an epoch frame + mask into the (H, W) pipeline canvas and
+    apply the integer pre-roll ON DEVICE: the host np.roll of two 37 MB
+    planes per epoch measured ~0.3 s/epoch of Coadd.from_images (r5
+    profile), all of it elementwise work the VPU does for free. Canvas
+    padding gets the NODATA_ALIGN bit so it never looks like valid sky
+    to the in-program background mesh (zeros dragged the mesh down and
+    ramped the fused coadd +18 counts at the edges)."""
+    Hs, Ws = img.shape
+    h, w = min(Hs, H), min(Ws, W)
+    canvas = jnp.zeros((H, W), jnp.float32).at[:h, :w].set(
+        img[:h, :w].astype(jnp.float32))
+    mcanvas = jnp.full((H, W), jnp.int32(1 << bit)).at[:h, :w].set(
+        mask[:h, :w].astype(jnp.int32))
+    canvas = jnp.roll(canvas, (-dv0, -du0), axis=(0, 1))
+    mcanvas = jnp.roll(mcanvas, (-dv0, -du0), axis=(0, 1))
+    return canvas, mcanvas
 
 
 def prepare_epoch_inputs(im, out_wcs, cfg: PipelineConfig):
     """Host-side per-epoch prep for ``make_coadd_pipeline``: mapping grid
     from the output canvas into the epoch frame, integer pre-roll into
-    the bucket, FLXSCALE factor. Returns a dict of numpy arrays."""
+    the bucket, FLXSCALE factor. The frame and mask are uploaded once
+    (mask in its raw 16-bit form when possible — halves its link bytes)
+    and embedded/rolled on device; grids and scalars stay numpy."""
     from ..wcs import pixel_mapping
     from ..ops.coadd import fluxscale
-
+    from ..ops.resample import SUPPORT
     from ..constants import MASK_BIT_NODATA_ALIGN
 
     grid = pixel_mapping(im.wcs, out_wcs, (cfg.height, cfg.width),
                          step=cfg.map_step)
-    data = np.ascontiguousarray(im.data).astype('f4')
-    mask = (np.ascontiguousarray(im.mask_image.data).astype('i4')
+    gu = np.asarray(grid.u, 'f4')
+    gv = np.asarray(grid.v, 'f4')
+    data = np.ascontiguousarray(im.data)
+    if data.dtype != np.float32:
+        data = data.astype('f4')
+    mraw = (np.ascontiguousarray(im.mask_image.data)
             if im.mask_image is not None
-            else np.zeros(data.shape, 'i4'))
-    pad = np.ones(data.shape, 'i4')
-    (data, mask, pad), gu, gv, covb = _embed_roll(
-        [data, mask, pad], np.asarray(grid.u, 'f4'),
-        np.asarray(grid.v, 'f4'), cfg)
-    # embedded-canvas padding must not look like valid sky to the
-    # in-program background mesh (zeros dragged the mesh down across the
-    # last cells and ramped the fused coadd by +18 counts at the edges)
-    mask = np.where(pad == 0, mask | (1 << MASK_BIT_NODATA_ALIGN), mask)
+            else np.zeros(data.shape, np.uint16))
+    Hs, Ws = data.shape
+    cov_bounds = np.asarray([SUPPORT - 1, Ws - SUPPORT,
+                             SUPPORT - 1, Hs - SUPPORT], 'f4')
+    gx = np.arange(gu.shape[1], dtype='f4') * cfg.map_step
+    gy = np.arange(gv.shape[0], dtype='f4') * cfg.map_step
+    du = gu - gx[None, :]
+    dv = gv - gy[:, None]
+    resid = max(np.abs(du).max(), np.abs(dv).max())
+    du0 = dv0 = 0
+    if resid > cfg.max_shift or (Hs, Ws) != (cfg.height, cfg.width):
+        du0 = int(round(float(np.median(du))))
+        dv0 = int(round(float(np.median(dv))))
+        resid2 = max(np.abs(du - du0).max(), np.abs(dv - dv0).max())
+        if resid2 > cfg.max_shift:
+            raise ValueError(
+                f'mapping residual {resid2:.2f} exceeds the '
+                f'max_shift={cfg.max_shift} bucket; per-pair fallback')
+        gu = gu - np.float32(du0)
+        gv = gv - np.float32(dv0)
+        cov_bounds = cov_bounds - np.asarray([du0, du0, dv0, dv0], 'f4')
+    img_d, mask_d = _embed_roll_device(
+        jnp.asarray(data), jnp.asarray(mraw), cfg.height, cfg.width,
+        dv0, du0, bit=MASK_BIT_NODATA_ALIGN)
     zp = im.header.get('MAGZP')
     return {
-        'img': data, 'mask': mask,
+        'img': img_d, 'mask': mask_d,
         'sat': np.float32(im.header.get('SATURATE', 0) or 3e38),
-        'grid_u': gu, 'grid_v': gv, 'cov_bounds': covb,
+        'grid_u': gu, 'grid_v': gv, 'cov_bounds': cov_bounds,
         'scale': np.float32(fluxscale(zp) if zp is not None else 1.0),
     }
 
